@@ -1,0 +1,305 @@
+"""LOPQ searchers: a host parity searcher and the TPU CSR searcher.
+
+``LOPQSearcher`` keeps the reference's in-RAM dict-of-cells index and exact
+query semantics (reference: lopq/lopq/search.py:85-382) — it is the oracle the
+TPU path is validated against and the fallback for tiny indexes.
+
+``LOPQSearcherTPU`` is the production path: PQ codes packed into a CSR layout
+(sorted by cell id + offsets table) resident in device HBM, queried by the
+fused static-shape kernel in tpu_query.py. It plays the role of the
+reference's ``LOPQSearcherLMDB`` (reference: lopq/lopq/search.py:385-499) with
+device memory instead of LMDB pages.
+"""
+
+from collections import defaultdict, namedtuple
+from itertools import count
+
+import numpy as np
+
+from columbiaimagesearch_tpu.index.model import LOPQCode, LOPQModelPCA
+from columbiaimagesearch_tpu.index.multisequence import multisequence
+from columbiaimagesearch_tpu.utils.chunking import round_up
+from columbiaimagesearch_tpu.utils.codes import code_dtype_for
+
+Result = namedtuple("Result", ["id", "code"])
+ResultDist = namedtuple("Result", ["id", "code", "dist"])
+
+
+def _codes_to_arrays(codes, ids, V, S):
+    """Normalize codes input: iterable of LOPQCode tuples or array pair."""
+    if isinstance(codes, tuple) and len(codes) == 2 and hasattr(codes[0], "ndim"):
+        coarse, fine = codes
+        coarse = np.asarray(coarse)
+        fine = np.asarray(fine)
+    else:
+        codes = list(codes)
+        coarse = np.asarray([c[0] for c in codes], dtype=code_dtype_for(V))
+        fine = np.asarray([c[1] for c in codes], dtype=code_dtype_for(S))
+    n = coarse.shape[0]
+    if ids is None:
+        ids_arr = np.arange(n, dtype=object)
+    else:
+        ids_arr = np.empty(n, dtype=object)
+        for i, x in zip(range(n), ids):
+            ids_arr[i] = x
+    return coarse, fine, ids_arr
+
+
+class LOPQSearcherBase(object):
+    def __init__(self):
+        self.nb_indexed = 0
+        self.verbose = 0
+
+    def get_nb_indexed(self):
+        return self.nb_indexed
+
+    def add_data(self, data, ids=None, num_procs=1):
+        """Encode raw vectors on device and index them.
+
+        The reference shards this over a multiprocessing pool
+        (lopq/lopq/search.py:94-108 + utils.py:178-200); here one batched
+        ``predict_batch`` call replaces the pool.
+        """
+        del num_procs  # device batching replaces host process parallelism
+        coarse, fine = self.model.predict_batch(data)
+        self.add_codes((coarse, fine), ids)
+
+    def add_codes_from_dict(self, codes_dict):
+        ids = list(codes_dict.keys())
+        codes = [codes_dict[k] for k in ids]
+        self.add_codes(codes, ids)
+
+    def get_result_quota(self, x, quota=10):
+        """Probe multi-index cells in distance order until quota is covered
+        (reference: lopq/lopq/search.py:110-135)."""
+        retrieved = []
+        visited = 0
+        for _, cell in multisequence(x, self.model.Cs):
+            retrieved += self.get_cell(cell)
+            visited += 1
+            if len(retrieved) >= quota:
+                break
+        return retrieved, visited
+
+    def compute_distances(self, x, items):
+        """ADC distances with per-coarse-cluster LUT memoization
+        (reference: lopq/lopq/search.py:137-177)."""
+        memo = [{}, {}]
+
+        def luts(coarse):
+            c0, c1 = int(coarse[0]), int(coarse[1])
+            if c0 not in memo[0]:
+                memo[0][c0] = self.model.get_subquantizer_distances(
+                    x, coarse, coarse_split=0)
+            if c1 not in memo[1]:
+                memo[1][c1] = self.model.get_subquantizer_distances(
+                    x, coarse, coarse_split=1)
+            return memo[0][c0] + memo[1][c1]
+
+        results = []
+        for item in items:
+            coarse, fine = item[1]
+            tables = luts(coarse)
+            dist = sum(tables[i][fc] for i, fc in enumerate(fine))
+            results.append((dist, item))
+        return results
+
+    def search(self, x, quota=10, limit=None, with_dists=False):
+        """Rank the probed candidates by ADC distance
+        (reference: lopq/lopq/search.py:179-224)."""
+        if isinstance(self.model, LOPQModelPCA):
+            x = self.model.apply_PCA(x)
+
+        retrieved, visited = self.get_result_quota(x, quota)
+        results = self.compute_distances(x, retrieved)
+        results = sorted(results, key=lambda d: d[0])
+        if limit is None:
+            limit = quota
+        results = results[:limit]
+
+        if with_dists:
+            out = [ResultDist(item[0], item[1], d) for d, item in results]
+        else:
+            out = [Result(item[0], item[1]) for d, item in results]
+        return out, visited
+
+    def add_codes(self, codes, ids=None):
+        raise NotImplementedError()
+
+    def get_cell(self, cell):
+        raise NotImplementedError()
+
+
+class LOPQSearcher(LOPQSearcherBase):
+    """In-RAM dict index, duplicate-id-per-cell insertion skipped
+    (reference: lopq/lopq/search.py:310-382)."""
+
+    def __init__(self, model):
+        super().__init__()
+        self.model = model
+        self.index = defaultdict(list)
+        self._cell_ids = defaultdict(set)
+
+    def add_codes(self, codes, ids=None):
+        if ids is None:
+            ids = count()
+        if isinstance(codes, tuple) and len(codes) == 2 and hasattr(codes[0], "ndim"):
+            coarse, fine = codes
+            codes = [LOPQCode(tuple(c), tuple(f)) for c, f in zip(coarse, fine)]
+        for item_id, code in zip(ids, codes):
+            cell = tuple(int(c) for c in code[0])
+            if item_id in self._cell_ids[cell]:
+                continue
+            self.index[cell].append((item_id, code))
+            self._cell_ids[cell].add(item_id)
+            self.nb_indexed += 1
+
+    def get_cell(self, cell):
+        cell = tuple(int(c) for c in cell)
+        return self.index[cell]
+
+
+class LOPQSearcherTPU(LOPQSearcherBase):
+    """HBM-resident CSR multi-index with a fused on-device query.
+
+    Codes are kept host-side in append buffers and packed to the device
+    lazily (sorted by cell id + [V^2+1] offsets) on the first search after a
+    mutation — the incremental-append role of the reference's LMDB index.
+    """
+
+    def __init__(self, model, probe_width=None):
+        super().__init__()
+        self.model = model
+        self.probe_width = probe_width
+        self._pending = []  # list of (cells int64 [n], fine uint8 [n, M], ids)
+        self._cells = None  # packed: sorted cell id per row
+        self._fine = None
+        self._ids = None
+        self._dev = None    # (codes_dev, cell_start_dev, params...)
+        self._dirty = True
+
+    # ------------------------------------------------------------- indexing
+
+    def add_codes(self, codes, ids=None):
+        coarse, fine, ids_arr = _codes_to_arrays(
+            codes, ids, self.model.V, self.model.subquantizer_clusters)
+        cells = (coarse[:, 0].astype(np.int64) * self.model.V
+                 + coarse[:, 1].astype(np.int64))
+        self._pending.append((cells, fine.astype(np.uint8), ids_arr))
+        self._dirty = True
+
+    def _pack(self):
+        if not self._dirty:
+            return
+        parts_c, parts_f, parts_i = [], [], []
+        if self._cells is not None:
+            parts_c.append(self._cells)
+            parts_f.append(self._fine)
+            parts_i.append(self._ids)
+        for c, f, i in self._pending:
+            parts_c.append(c)
+            parts_f.append(f)
+            parts_i.append(i)
+        self._pending = []
+        cells = np.concatenate(parts_c) if parts_c else np.zeros(0, np.int64)
+        fine = (np.concatenate(parts_f) if parts_f
+                else np.zeros((0, self.model.M), np.uint8))
+        ids = (np.concatenate(parts_i) if parts_i
+               else np.zeros(0, dtype=object))
+
+        # Dedup (cell, id) keeping first insertion (reference add_codes
+        # duplicate handling, lopq/lopq/search.py:342-364).
+        seen = {}
+        keep = np.ones(len(cells), dtype=bool)
+        for i in range(len(cells)):
+            key = (int(cells[i]), ids[i])
+            if key in seen:
+                keep[i] = False
+            else:
+                seen[key] = i
+        cells, fine, ids = cells[keep], fine[keep], ids[keep]
+
+        order = np.argsort(cells, kind="stable")
+        self._cells = cells[order]
+        self._fine = fine[order]
+        self._ids = ids[order]
+        self.nb_indexed = len(self._cells)
+
+        n_cells = self.model.V * self.model.V
+        # CSR offsets: cell_start[c] .. cell_start[c+1] rows belong to cell c.
+        counts = np.bincount(self._cells, minlength=n_cells)
+        cell_start = np.zeros(n_cells + 1, dtype=np.int32)
+        np.cumsum(counts, out=cell_start[1:])
+
+        import jax.numpy as jnp
+
+        self._dev = {
+            "codes": jnp.asarray(self._fine),
+            "cell_start": jnp.asarray(cell_start),
+            "Cs": jnp.stack([jnp.asarray(C) for C in self.model.Cs]),
+            "Rs": jnp.stack([jnp.asarray(R) for R in self.model.Rs]),
+            "mus": jnp.stack([jnp.asarray(m) for m in self.model.mus]),
+            "subs": jnp.stack(
+                [jnp.stack([jnp.asarray(s) for s in half])
+                 for half in self.model.subquantizers]),
+        }
+        self._dirty = False
+
+    def get_cell(self, cell):
+        self._pack()
+        c = int(cell[0]) * self.model.V + int(cell[1])
+        lo = np.searchsorted(self._cells, c, side="left")
+        hi = np.searchsorted(self._cells, c, side="right")
+        V, S = self.model.V, self.model.subquantizer_clusters
+        cdt, fdt = code_dtype_for(V), code_dtype_for(S)
+        out = []
+        for r in range(lo, hi):
+            coarse = (cdt(self._cells[r] // V), cdt(self._cells[r] % V))
+            fine = tuple(fdt(v) for v in self._fine[r])
+            out.append((self._ids[r], LOPQCode(coarse, fine)))
+        return out
+
+    # --------------------------------------------------------------- search
+
+    def search(self, x, quota=10, limit=None, with_dists=False):
+        """Fused device query; same contract as the parity searcher."""
+        import jax.numpy as jnp
+
+        from columbiaimagesearch_tpu.index.tpu_query import lopq_query
+
+        if isinstance(self.model, LOPQModelPCA):
+            x = self.model.apply_PCA(x)
+        self._pack()
+        if self.nb_indexed == 0:
+            return [], 0
+
+        V = self.model.V
+        B = self.probe_width or min(V, 64)
+        K = min(limit if limit is not None else quota, self.nb_indexed)
+        Q = min(round_up(int(quota * 1.5) + 256, 1024), round_up(self.nb_indexed, 256))
+        K_pad = min(round_up(K, 16), Q)
+
+        d = self._dev
+        rows, dists, total, n_cells = lopq_query(
+            jnp.asarray(np.asarray(x, dtype=np.float32)),
+            d["Cs"], d["Rs"], d["mus"], d["subs"],
+            d["codes"], d["cell_start"], quota,
+            V=V, B=B, Q=Q, K=K_pad)
+        rows = np.asarray(rows)[:K]
+        dists = np.asarray(dists)[:K]
+        visited = int(n_cells)
+
+        V_, S = self.model.V, self.model.subquantizer_clusters
+        cdt, fdt = code_dtype_for(V_), code_dtype_for(S)
+        out = []
+        for r, dist in zip(rows, dists):
+            if r < 0 or not np.isfinite(dist):
+                continue
+            coarse = (cdt(self._cells[r] // V_), cdt(self._cells[r] % V_))
+            fine = tuple(fdt(v) for v in self._fine[r])
+            code = LOPQCode(coarse, fine)
+            if with_dists:
+                out.append(ResultDist(self._ids[r], code, float(dist)))
+            else:
+                out.append(Result(self._ids[r], code))
+        return out, visited

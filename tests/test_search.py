@@ -1,0 +1,119 @@
+"""Multisequence + searcher tests: ordering, parity, dedup, recall."""
+
+import numpy as np
+import pytest
+
+from columbiaimagesearch_tpu.index.eval import compute_all_neighbors, get_recall
+from columbiaimagesearch_tpu.index.model import LOPQModel
+from columbiaimagesearch_tpu.index.multisequence import multisequence
+from columbiaimagesearch_tpu.index.searcher import LOPQSearcher, LOPQSearcherTPU
+
+from tests.oracle_lopq import adc_distance, random_params
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.RandomState(21)
+    params = random_params(rng, V=8, M=4, S=16, D=32)
+    model = LOPQModel(parameters=params)
+    X = rng.randn(2000, 32).astype(np.float32)
+    queries = rng.randn(20, 32).astype(np.float32)
+    return model, params, X, queries
+
+
+def test_multisequence_visits_all_cells_in_distance_order(setup):
+    model, params, _, queries = setup
+    Cs = params[0]
+    x = queries[0]
+    out = list(multisequence(x, list(Cs)))
+    V = Cs[0].shape[0]
+    assert len(out) == V * V  # exhaustive traversal
+    dists = [d for d, _ in out]
+    assert all(dists[i] <= dists[i + 1] + 1e-9 for i in range(len(dists) - 1))
+    # Distances must equal the exact per-split sums.
+    halves = np.split(x, 2)
+    d0 = ((halves[0][None] - Cs[0]) ** 2).sum(1)
+    d1 = ((halves[1][None] - Cs[1]) ** 2).sum(1)
+    for d, (c0, c1) in out[:50]:
+        np.testing.assert_allclose(d, d0[c0] + d1[c1], rtol=1e-5)
+    cells = {tuple(int(v) for v in c) for _, c in out}
+    assert len(cells) == V * V
+
+
+def test_searcher_adc_distances_match_oracle(setup):
+    model, params, X, queries = setup
+    searcher = LOPQSearcher(model)
+    searcher.add_data(X[:200])
+    q = queries[0]
+    results, _ = searcher.search(q, quota=50, with_dists=True)
+    assert len(results) > 0
+    for res in results[:20]:
+        want = adc_distance(q, res.code.coarse, res.code.fine, *params)
+        np.testing.assert_allclose(res.dist, want, rtol=1e-3, atol=1e-4)
+    # Results sorted ascending.
+    d = [r.dist for r in results]
+    assert d == sorted(d)
+
+
+def test_searcher_dedup_and_count(setup):
+    model, _, X, _ = setup
+    searcher = LOPQSearcher(model)
+    searcher.add_data(X[:100], ids=list(range(100)))
+    assert searcher.get_nb_indexed() == 100
+    # Re-adding the same ids must be a no-op (reference dedup semantics).
+    searcher.add_data(X[:100], ids=list(range(100)))
+    assert searcher.get_nb_indexed() == 100
+
+
+def test_tpu_searcher_matches_parity_searcher(setup):
+    model, _, X, queries = setup
+    ids = [f"sha1_{i}" for i in range(len(X))]
+    s_host = LOPQSearcher(model)
+    s_host.add_data(X, ids=ids)
+    s_tpu = LOPQSearcherTPU(model)
+    s_tpu.add_data(X, ids=ids)
+    assert s_tpu.get_cell((0, 0)) is not None
+
+    for q in queries[:8]:
+        quota = 200
+        r_host, _ = s_host.search(q, quota=quota, limit=20, with_dists=True)
+        r_tpu, _ = s_tpu.search(q, quota=quota, limit=20, with_dists=True)
+        ids_h = [r.id for r in r_host]
+        ids_t = [r.id for r in r_tpu]
+        d_h = np.array([r.dist for r in r_host])
+        d_t = np.array([r.dist for r in r_tpu])
+        np.testing.assert_allclose(d_h, d_t, rtol=1e-3, atol=1e-4)
+        # Allow order swaps only between (near-)equal distances.
+        for i, (ih, it) in enumerate(zip(ids_h, ids_t)):
+            if ih != it:
+                assert abs(d_h[i] - d_t[i]) < 1e-3
+
+
+def test_tpu_searcher_dedup(setup):
+    model, _, X, _ = setup
+    s = LOPQSearcherTPU(model)
+    s.add_data(X[:50], ids=list(range(50)))
+    s.add_data(X[:50], ids=list(range(50)))
+    s.search(X[0], quota=10)  # force pack
+    assert s.get_nb_indexed() == 50
+
+
+def test_trained_model_recall():
+    rng = np.random.RandomState(33)
+    # Clustered data so LOPQ structure helps.
+    centers = rng.randn(32, 16).astype(np.float32) * 3
+    X = (centers[rng.randint(0, 32, 5000)]
+         + 0.3 * rng.randn(5000, 16).astype(np.float32))
+    queries = X[:50] + 0.01 * rng.randn(50, 16).astype(np.float32)
+
+    model = LOPQModel(V=8, M=4, subquantizer_clusters=64)
+    model.fit(X, kmeans_coarse_iters=8, kmeans_local_iters=8, n_init=2,
+              random_state=0)
+
+    nns = compute_all_neighbors(queries, X)
+    searcher = LOPQSearcherTPU(model)
+    searcher.add_data(X)
+    recall, qtime = get_recall(searcher, queries, nns, thresholds=[1, 10, 100])
+    assert recall[2] >= 0.95  # recall@100 with quota 100
+    assert recall[1] >= 0.8
+    assert recall[0] >= 0.5
