@@ -1,0 +1,170 @@
+"""Headline benchmark: query latency over a 10M-vector LOPQ index on TPU.
+
+Production index configuration from the reference deployment
+(reference: conf/conf_search_sbpycaffe_release.json:9-16 — lopq_pca with
+pca=256 dims, V=4096, M=8, 256 subquantizer clusters) and the reference
+search quota defaults (quota=min(1000*max_returned, 10000), sim_limit=100;
+reference: searcher/searcher_lopqhbase.py:838, generic_searcher.py:124-125).
+
+Methodology: the whole pipeline (synthetic data -> encode -> CSR build ->
+queries) stays device-resident. Per-query latency is measured by running
+dependency-chained batches of queries inside a single jit (lax.scan), which
+measures true device execution time and amortizes the development tunnel's
+per-dispatch round-trip (~30 ms on this proxied single-chip setup; absent on
+directly-attached production TPUs). Reported value = median over scan
+batches of (batch time / queries per batch).
+
+Target (BASELINE.md): p50 < 10 ms. Prints ONE JSON line to stdout.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+# Compiles through the dev tunnel's remote-compile path cost 30-60 s each;
+# the persistent cache makes warm reruns start in seconds.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index-size", type=int, default=10 * (1 << 20))
+    ap.add_argument("--train-size", type=int, default=100_000)
+    ap.add_argument("--dim", type=int, default=256)
+    ap.add_argument("--V", type=int, default=4096)
+    ap.add_argument("--M", type=int, default=8)
+    ap.add_argument("--probe-width", type=int, default=64)
+    ap.add_argument("--quota", type=int, default=10_000)
+    ap.add_argument("--limit", type=int, default=100)
+    ap.add_argument("--batches", type=int, default=5)
+    ap.add_argument("--queries-per-batch", type=int, default=20)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from columbiaimagesearch_tpu.index.csr import build_csr_device
+    from columbiaimagesearch_tpu.index.model import LOPQModel
+    from columbiaimagesearch_tpu.index.tpu_encode import lopq_encode
+    from columbiaimagesearch_tpu.index.tpu_query import lopq_query
+    from columbiaimagesearch_tpu.utils.chunking import round_up
+
+    log(f"devices: {jax.devices()}")
+    t0 = time.time()
+
+    # ---- synthetic data: gaussian mixture, generated on device ------------
+    n_comp = 256
+    key = jax.random.PRNGKey(0)
+    key, k1 = jax.random.split(key)
+    comp = jax.random.normal(k1, (n_comp, args.dim), dtype=jnp.float32)
+    comp = comp / jnp.linalg.norm(comp, axis=1, keepdims=True)
+
+    @jax.jit
+    def synth(key, n_static_shape):
+        kw, kn = jax.random.split(key)
+        which = jax.random.randint(kw, (n_static_shape.shape[0],), 0, n_comp)
+        noise = jax.random.normal(
+            kn, (n_static_shape.shape[0], args.dim), dtype=jnp.float32)
+        return comp[which] + 0.3 * noise
+
+    def make(n, key):
+        return synth(key, jnp.zeros((n,), jnp.int8))
+
+    key, k2 = jax.random.split(key)
+    train = np.asarray(make(args.train_size, k2))
+    log(f"[{time.time()-t0:.1f}s] training LOPQ V={args.V} M={args.M} "
+        f"on {args.train_size} vectors")
+    model = LOPQModel(V=args.V, M=args.M, subquantizer_clusters=256)
+    model.fit(train, kmeans_coarse_iters=10, kmeans_local_iters=10, n_init=1,
+              random_state=0)
+    log(f"[{time.time()-t0:.1f}s] trained; encoding {args.index_size} vectors")
+
+    Cs = jnp.stack([jnp.asarray(C) for C in model.Cs])
+    Rs = jnp.stack([jnp.asarray(R) for R in model.Rs])
+    mus = jnp.stack([jnp.asarray(m) for m in model.mus])
+    subs = jnp.stack([jnp.stack([jnp.asarray(s) for s in h])
+                      for h in model.subquantizers])
+
+    # ---- encode on device, keep codes on device --------------------------
+    chunk_n = 1 << 20
+    coarse_parts, fine_parts = [], []
+    done = 0
+    while done < args.index_size:
+        n = min(chunk_n, args.index_size - done)
+        n = round_up(n, 4096)
+        key, kc = jax.random.split(key)
+        xb = make(n, kc)
+        co, fi = lopq_encode(Cs, Rs, mus, subs, xb, chunk=4096)
+        coarse_parts.append(co)
+        fine_parts.append(fi.astype(jnp.uint8))
+        done += n
+        log(f"[{time.time()-t0:.1f}s] encoded {min(done, args.index_size)}"
+            f"/{args.index_size}")
+    coarse = jnp.concatenate(coarse_parts)[:args.index_size]
+    fine = jnp.concatenate(fine_parts)[:args.index_size]
+    del coarse_parts, fine_parts
+
+    log(f"[{time.time()-t0:.1f}s] building CSR index on device")
+    codes, cell_start, order = build_csr_device(coarse, fine, args.V)
+    jax.block_until_ready(cell_start)
+
+    # ---- scan-chained query batches --------------------------------------
+    B = min(args.probe_width, args.V)
+    Q = round_up(int(args.quota * 3 // 2) + 256, 1024)
+    K = round_up(args.limit, 16)
+    quota = jnp.asarray(args.quota, dtype=jnp.int32)
+    nq = args.queries_per_batch
+
+    @jax.jit
+    def run_batch(queries):
+        def step(carry, q):
+            rows, dists, total, nc = lopq_query(
+                q + carry * 1e-12, Cs, Rs, mus, subs, codes, cell_start,
+                quota, V=args.V, B=B, Q=Q, K=K)
+            return dists[0], (rows[:args.limit], dists[:args.limit])
+        last, outs = jax.lax.scan(step, jnp.float32(0), queries)
+        return last, outs
+
+    key, kq = jax.random.split(key)
+    warm = make(nq, kq)
+    log(f"[{time.time()-t0:.1f}s] compiling query (B={B} Q={Q} K={K})")
+    jax.block_until_ready(run_batch(warm)[0])
+
+    per_batch = []
+    for i in range(args.batches):
+        key, kq = jax.random.split(key)
+        queries = make(nq, kq)
+        jax.block_until_ready(queries)
+        s = time.perf_counter()
+        last, outs = run_batch(queries)
+        jax.block_until_ready(last)
+        dt = time.perf_counter() - s
+        per_batch.append(dt / nq * 1000.0)
+        log(f"[{time.time()-t0:.1f}s] batch {i}: {per_batch[-1]:.3f} ms/query")
+
+    p50 = float(np.median(per_batch))
+    # Sanity: pull one batch of results to the host (post-timing).
+    rows_host = np.asarray(outs[0][-1])
+    ids_host = np.asarray(order[rows_host[rows_host >= 0]])
+    log(f"[{time.time()-t0:.1f}s] sample result ids: {ids_host[:5].tolist()} "
+        f"p50={p50:.3f} ms/query @ {args.index_size} index")
+
+    baseline_ms = 10.0
+    print(json.dumps({
+        "metric": f"p50_query_latency_{args.index_size >> 20}Mi_index",
+        "value": round(p50, 3),
+        "unit": "ms",
+        "vs_baseline": round(baseline_ms / p50, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

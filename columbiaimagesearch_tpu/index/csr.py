@@ -1,0 +1,35 @@
+"""Device-side CSR multi-index construction.
+
+Packs PQ codes into the cell-sorted CSR layout the fused query kernel scans,
+entirely on device: sort by cell id, gather codes into cell order, scatter
+per-cell counts, prefix-sum offsets. Nothing crosses the host boundary — the
+10M-code equivalent of the reference's LMDB ingest loop
+(reference: lopq/lopq/search.py:445-470 ``LOPQSearcherLMDB.add_codes``) runs
+as four XLA ops.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnames=("V",))
+def build_csr_device(coarse, fine, V: int):
+    """Build the CSR index on device.
+
+    :param coarse: [N, 2] int32 coarse codes
+    :param fine: [N, M] uint8/int32 fine codes
+    :param V: coarse codebook size (static)
+    :returns: (codes [N, M] uint8 cell-sorted,
+               cell_start [V^2+1] int32 offsets,
+               order [N] int32 — original row index of each sorted row)
+    """
+    cells = coarse[:, 0].astype(jnp.int32) * V + coarse[:, 1].astype(jnp.int32)
+    order = jnp.argsort(cells, stable=True).astype(jnp.int32)
+    codes = fine.astype(jnp.uint8)[order]
+    counts = jax.ops.segment_sum(
+        jnp.ones_like(cells), cells, num_segments=V * V)
+    cell_start = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts).astype(jnp.int32)])
+    return codes, cell_start, order

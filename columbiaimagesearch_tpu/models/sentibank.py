@@ -1,0 +1,158 @@
+"""DeepSentibank ANP network in Flax — the primary 4096-d image featurizer.
+
+Architecture transcribed from the reference prototxt
+(reference: cufacesearch/featurizer/data/pycaffe_sentibank.prototxt):
+AlexNet-variant with grouped convolutions and across-channel LRN, 2089 ANP
+classes; features are the post-ReLU fc7 activations
+(reference: featurizer/sbpycaffe_img_featurizer.py:41,152-154 extracts the
+'fc7' blob, which Caffe ReLUs in place).
+
+TPU-native design vs the reference:
+- batched NHWC forward under jit (the reference runs single-image CPU Caffe,
+  sbpycaffe_img_featurizer.py:94,150);
+- grouped convs use XLA's ``feature_group_count`` (the reference TF mirror
+  emulates groups with split/concat, featurizer/kaffetensorflow/network.py:150-172);
+- preprocessing (resize/crop/BGR/mean-subtract) is fused into the same jit
+  (see preprocess.py);
+- weights convert 1:1 from Caffe blobs (``load_caffe_weights``): FC6 input
+  ordering follows Caffe's NCHW flatten, so converted weights reproduce fc7.
+"""
+
+import functools
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from columbiaimagesearch_tpu.models.layers import caffe_max_pool, lrn
+
+FEATURE_DIM = 4096
+NUM_ANP_CLASSES = 2089
+INPUT_SIZE = 227
+
+
+class DeepSentibank(nn.Module):
+    """Sentibank CaffeNet. Input: [N, 227, 227, 3] float32, BGR,
+    mean-subtracted, 0..255 scale. Returns logits; use ``features`` method or
+    ``capture_fc7`` for the 4096-d feature."""
+
+    @nn.compact
+    def __call__(self, x):
+        # conv1: 96 @ 11x11 / 4, VALID (prototxt conv1)
+        x = nn.Conv(96, (11, 11), strides=(4, 4), padding="VALID",
+                    name="conv1")(x)
+        x = nn.relu(x)
+        x = caffe_max_pool(x, 3, 2)                       # pool1
+        x = lrn(x, 5, 1e-4, 0.75)                         # norm1
+        # conv2: 256 @ 5x5 pad 2, groups 2
+        x = nn.Conv(256, (5, 5), padding=2, feature_group_count=2,
+                    name="conv2")(x)
+        x = nn.relu(x)
+        x = caffe_max_pool(x, 3, 2)                       # pool2
+        x = lrn(x, 5, 1e-4, 0.75)                         # norm2
+        x = nn.Conv(384, (3, 3), padding=1, name="conv3")(x)
+        x = nn.relu(x)
+        x = nn.Conv(384, (3, 3), padding=1, feature_group_count=2,
+                    name="conv4")(x)
+        x = nn.relu(x)
+        x = nn.Conv(256, (3, 3), padding=1, feature_group_count=2,
+                    name="conv5")(x)
+        x = nn.relu(x)
+        x = caffe_max_pool(x, 3, 2)                       # pool5 -> [N,6,6,256]
+        # Caffe flattens NCHW; transpose so converted FC weights line up.
+        n = x.shape[0]
+        x = jnp.transpose(x, (0, 3, 1, 2)).reshape(n, -1)
+        x = nn.relu(nn.Dense(4096, name="fc6")(x))
+        fc7 = nn.relu(nn.Dense(4096, name="fc7")(x))
+        self.sow("intermediates", "fc7_feat", fc7)
+        logits = nn.Dense(NUM_ANP_CLASSES, name="fc8_t")(fc7)
+        return logits
+
+
+def _forward_features(params, x):
+    model = DeepSentibank()
+    _, state = model.apply({"params": params}, x, mutable=["intermediates"])
+    return state["intermediates"]["fc7_feat"][0]
+
+
+@functools.partial(jax.jit, static_argnames=())
+def sentibank_features(params, x):
+    """fc7 features for a preprocessed batch [N, 227, 227, 3] -> [N, 4096]."""
+    return _forward_features(params, x)
+
+
+@jax.jit
+def sentibank_logits(params, x):
+    return DeepSentibank().apply({"params": params}, x)
+
+
+def init_params(seed: int = 0):
+    model = DeepSentibank()
+    dummy = jnp.zeros((1, INPUT_SIZE, INPUT_SIZE, 3), dtype=jnp.float32)
+    return model.init(jax.random.PRNGKey(seed), dummy)["params"]
+
+
+_CAFFE_LAYER_MAP = {
+    "conv1": "conv1", "conv2": "conv2", "conv3": "conv3",
+    "conv4": "conv4", "conv5": "conv5",
+    "fc6": "fc6", "fc7": "fc7", "fc8-t": "fc8_t",
+}
+
+
+def load_caffe_weights(blobs: dict):
+    """Convert a dict of Caffe blobs into Flax params.
+
+    :param blobs: mapping layer name -> (weights, bias) with Caffe layouts:
+        conv weights [out_c, in_c/groups, kh, kw]; fc weights [out, in].
+        (The layout written by pycaffe's ``net.params[name][i].data``.)
+    :returns: flax params pytree for :class:`DeepSentibank`
+    """
+    params = {}
+    for caffe_name, flax_name in _CAFFE_LAYER_MAP.items():
+        if caffe_name not in blobs:
+            raise KeyError(f"missing caffe layer {caffe_name}")
+        w, b = blobs[caffe_name]
+        w = np.asarray(w, dtype=np.float32)
+        b = np.asarray(b, dtype=np.float32)
+        if caffe_name.startswith("conv"):
+            # [out, in/g, kh, kw] -> HWIO [kh, kw, in/g, out]
+            kernel = np.transpose(w, (2, 3, 1, 0))
+        else:
+            # [out, in] -> [in, out]
+            kernel = w.T
+        params[flax_name] = {"kernel": jnp.asarray(kernel),
+                             "bias": jnp.asarray(b)}
+    return params
+
+
+class SentibankFeaturizer:
+    """Featurizer facade with the reference's contract: image in, 4096-d
+    float32 fc7 out (reference: featurizer/sbpycaffe_img_featurizer.py
+    ``SentiBankPyCaffeImgFeaturizer.featurize``) — but batched.
+
+    ``featurize_batch`` takes uint8 RGB images of any size (list of arrays),
+    preprocesses on device, and returns [N, 4096] float32.
+    """
+
+    feat_size = FEATURE_DIM
+    feat_type = "sbpycaffe"
+
+    def __init__(self, params=None, mean_image=None, seed: int = 0):
+        self.params = params if params is not None else init_params(seed)
+        from columbiaimagesearch_tpu.models.preprocess import (
+            default_mean_image,
+            preprocess_batch,
+        )
+        self._preprocess = preprocess_batch
+        self.mean = (np.asarray(mean_image, dtype=np.float32)
+                     if mean_image is not None else default_mean_image())
+
+    def featurize(self, img, bbox=None):
+        """Single image -> 4096-d feature (bbox ignored, like the reference)."""
+        del bbox
+        return self.featurize_batch([img])[0]
+
+    def featurize_batch(self, imgs):
+        x = self._preprocess(imgs, self.mean)
+        return np.asarray(sentibank_features(self.params, x))
