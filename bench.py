@@ -123,8 +123,12 @@ def main():
     quota = jnp.asarray(args.quota, dtype=jnp.int32)
     nq = args.queries_per_batch
 
+    # NB: the index/model arrays MUST be jit arguments, not closure captures
+    # — captured device arrays are baked into the HLO as constants, which
+    # both re-ships them per dispatch and overflows the remote-compile
+    # request size at 10M scale.
     @jax.jit
-    def run_batch(queries):
+    def run_batch(queries, Cs, Rs, mus, subs, codes, cell_start, quota):
         def step(carry, q):
             rows, dists, total, nc = lopq_query(
                 q + carry * 1e-12, Cs, Rs, mus, subs, codes, cell_start,
@@ -133,10 +137,12 @@ def main():
         last, outs = jax.lax.scan(step, jnp.float32(0), queries)
         return last, outs
 
+    index_args = (Cs, Rs, mus, subs, codes, cell_start, quota)
+
     key, kq = jax.random.split(key)
     warm = make(nq, kq)
     log(f"[{time.time()-t0:.1f}s] compiling query (B={B} Q={Q} K={K})")
-    jax.block_until_ready(run_batch(warm)[0])
+    jax.block_until_ready(run_batch(warm, *index_args)[0])
 
     per_batch = []
     for i in range(args.batches):
@@ -144,7 +150,7 @@ def main():
         queries = make(nq, kq)
         jax.block_until_ready(queries)
         s = time.perf_counter()
-        last, outs = run_batch(queries)
+        last, outs = run_batch(queries, *index_args)
         jax.block_until_ready(last)
         dt = time.perf_counter() - s
         per_batch.append(dt / nq * 1000.0)

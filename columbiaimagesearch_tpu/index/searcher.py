@@ -178,6 +178,10 @@ class LOPQSearcherTPU(LOPQSearcherBase):
         self._dev = None    # (codes_dev, cell_start_dev, params...)
         self._dirty = True
 
+    def get_nb_indexed(self):
+        self._pack()
+        return self.nb_indexed
+
     # ------------------------------------------------------------- indexing
 
     def add_codes(self, codes, ids=None):

@@ -1,0 +1,181 @@
+"""KVIndexer store + SearcherLOPQ orchestration end-to-end."""
+
+import numpy as np
+import pytest
+
+from columbiaimagesearch_tpu.extraction.featsio import normfeatB64encode
+from columbiaimagesearch_tpu.searcher.searcher_lopq import SearcherLOPQ
+from columbiaimagesearch_tpu.store import KVIndexer, MemoryStorer
+
+
+def make_indexer(rng, n_imgs=600, dim=64, extr="sentibank_feat_full_image"):
+    """Populate a KVIndexer like the extraction pipeline would."""
+    kv = KVIndexer(path=":memory:")
+    centers = rng.randn(24, dim).astype(np.float32) * 3
+    feats = (centers[rng.randint(0, 24, n_imgs)]
+             + 0.2 * rng.randn(n_imgs, dim).astype(np.float32))
+    feats /= np.linalg.norm(feats, axis=1, keepdims=True)
+    sha1s = [f"{i:040X}" for i in range(n_imgs)]
+
+    batch = kv.batch_update_size = 200
+    for b in range(0, n_imgs, batch):
+        rows = {}
+        chunk = list(range(b, min(b + batch, n_imgs)))
+        for i in chunk:
+            rows[sha1s[i]] = {
+                f"ext:{extr}": normfeatB64encode(feats[i].astype(np.float32)),
+                f"ext:{extr}_processed": "1",
+                "info:s3_url": f"http://imgs/{sha1s[i]}.jpg",
+            }
+        kv.push_dict_rows(rows, kv.table_sha1infos_name)
+        update_id, _ = kv.get_next_update_id(extr_type=extr)
+        kv.push_dict_rows(
+            {update_id: {kv.get_col_listsha1s():
+                         ",".join(sha1s[i] for i in chunk),
+                         kv.get_col_upcreate(): "now"}},
+            kv.table_updateinfos_name)
+    return kv, feats, sha1s
+
+
+def test_kvindexer_roundtrip_and_scan():
+    rng = np.random.RandomState(0)
+    kv, feats, sha1s = make_indexer(rng, n_imgs=50)
+    rows = kv.get_rows_by_batch(sha1s[:5], kv.table_sha1infos_name)
+    assert len(rows) == 5
+    assert rows[0][1]["info:s3_url"].decode().startswith("http://imgs/")
+    # scan updates
+    batches = list(kv.get_updates_from_date("1970-01-01"))
+    n_updates = sum(len(b) for b in batches)
+    assert n_updates == 1
+    # features decode with matching sample ids
+    sids, fts = kv.get_features_from_sha1s(sha1s[:10],
+                                           "sentibank_feat_full_image")
+    assert sids == sha1s[:10]
+    np.testing.assert_allclose(np.vstack(fts), feats[:10], rtol=1e-5)
+    # missing extraction detection
+    missing = kv.get_missing_extr_sha1s(sha1s[:5] + ["FFFF"],
+                                        "sentibank_feat_full_image")
+    assert missing == ["FFFF"]
+
+
+def test_kvindexer_unprocessed_updates():
+    rng = np.random.RandomState(1)
+    kv, _, _ = make_indexer(rng, n_imgs=60, extr="e_feat_full_image")
+    ups = [u for b in kv.get_unprocessed_updates_from_date(
+        "1970-01-01", extr_type="e_feat_full_image") for u in b]
+    assert len(ups) == 1
+    kv.push_dict_rows({ups[0][0]: {kv.get_col_upproc(): "done"}},
+                      kv.table_updateinfos_name)
+    ups2 = [u for b in kv.get_unprocessed_updates_from_date(
+        "1970-01-01", extr_type="e_feat_full_image") for u in b]
+    assert not ups2
+
+
+@pytest.fixture(scope="module")
+def searcher_env():
+    rng = np.random.RandomState(2)
+    kv, feats, sha1s = make_indexer(rng)
+    storer = MemoryStorer()
+    searcher = SearcherLOPQ(
+        model_type="lopq", V=8, M=4, subquantizer_clusters=32,
+        nb_train=600, nb_min_train=100, train_at_init=True,
+        detector_type="full", featurizer_type="sentibank",
+        indexer=kv, storer=storer, reranking=False)
+    return searcher, kv, feats, sha1s, storer
+
+
+def test_searcher_trains_and_indexes(searcher_env):
+    searcher, kv, feats, sha1s, storer = searcher_env
+    assert searcher.model is not None
+    assert searcher.get_nb_indexed() == len(sha1s)
+    # model + codes persisted
+    assert storer.load(searcher.build_model_str()) is not None
+    assert len(list(storer.list_prefix(searcher.build_model_str()
+                                       + "_codes/"))) == 3
+
+
+def test_search_from_feats_full_image(searcher_env):
+    searcher, kv, feats, sha1s, _ = searcher_env
+    q = feats[42]
+    out = searcher.search_from_feats([(sha1s[42], None)], [q],
+                                     {"max_returned": 10})
+    assert out["NumberImages"] == 1
+    entry = out["AllSimilarImages"][0]
+    assert entry["QuerySha1"] == sha1s[42]
+    block = entry["SimilarImages"]
+    assert block["NumberImages"] >= 1
+    assert len(block["ImageSha1s"]) == block["NumberImages"]
+    assert block["CachedImageURLs"][0].startswith("http://imgs/")
+    assert block["Distances"] == sorted(block["Distances"])
+
+
+def test_search_reranking_fixes_ranking(searcher_env):
+    searcher, kv, feats, sha1s, _ = searcher_env
+    rng = np.random.RandomState(3)
+    q = feats[123] + 0.001 * rng.randn(64).astype(np.float32)
+    # Without rerank, quantization ties make top-1 arbitrary; with exact
+    # rerank the true NN must win (reference rerank semantics).
+    out = searcher.search_from_feats(
+        [(sha1s[123], None)], [q],
+        {"max_returned": 5, "reranking": True, "rerank_nb": 200})
+    block = out["AllSimilarImages"][0]["SimilarImages"]
+    assert block["ImageSha1s"][0] == sha1s[123]
+    assert block["Distances"][0] < 0.01
+    assert block["Distances"] == sorted(block["Distances"])
+
+
+def test_search_near_dup_filter(searcher_env):
+    searcher, kv, feats, sha1s, _ = searcher_env
+    q = feats[7]
+    out = searcher.search_from_feats(
+        [(sha1s[7], None)], [q],
+        {"max_returned": 50, "reranking": True, "rerank_nb": 300,
+         "near_dup": True, "near_dup_th": 0.05})
+    block = out["AllSimilarImages"][0]["SimilarImages"]
+    assert all(d <= 0.05 for d in block["Distances"])
+    assert sha1s[7] in block["ImageSha1s"]
+
+
+def test_searcher_resume_from_storer(searcher_env):
+    searcher, kv, feats, sha1s, storer = searcher_env
+    # A new searcher over the same storer must reload model + codes without
+    # re-training (checkpoint/resume semantics).
+    s2 = SearcherLOPQ(
+        model_type="lopq", V=8, M=4, subquantizer_clusters=32,
+        nb_train=600, nb_min_train=100, train_at_init=False,
+        detector_type="full", featurizer_type="sentibank",
+        indexer=kv, storer=storer)
+    assert s2.model is not None
+    assert s2.get_nb_indexed() == len(sha1s)
+    q = feats[5]
+    out = s2.search_from_feats([(sha1s[5], None)], [q],
+                               {"max_returned": 3, "reranking": True,
+                                "rerank_nb": 100})
+    assert out["AllSimilarImages"][0]["SimilarImages"]["ImageSha1s"][0] \
+        == sha1s[5]
+
+
+def test_incremental_load_codes(searcher_env):
+    searcher, kv, feats, sha1s, _ = searcher_env
+    # Push a new update with new images and refresh.
+    rng = np.random.RandomState(4)
+    new_feats = feats[:5] + 0.001 * rng.randn(5, 64).astype(np.float32)
+    new_sha1s = [f"NEW{i:037X}" for i in range(5)]
+    rows = {}
+    for i, s in enumerate(new_sha1s):
+        rows[s] = {
+            "ext:sentibank_feat_full_image":
+                normfeatB64encode(new_feats[i].astype(np.float32)),
+            "ext:sentibank_feat_full_image_processed": "1",
+            "info:s3_url": f"http://imgs/{s}.jpg",
+        }
+    kv.push_dict_rows(rows, kv.table_sha1infos_name)
+    update_id, _ = kv.get_next_update_id(
+        extr_type="sentibank_feat_full_image")
+    kv.push_dict_rows(
+        {update_id: {kv.get_col_listsha1s(): ",".join(new_sha1s)}},
+        kv.table_updateinfos_name)
+    before = searcher.get_nb_indexed()
+    added = searcher.load_codes()
+    assert added == 5
+    assert searcher.get_nb_indexed() == before + 5
