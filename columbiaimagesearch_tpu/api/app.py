@@ -1,0 +1,239 @@
+"""REST search API on the stdlib HTTP server.
+
+Same endpoint surface as the reference's Flask-RESTful APIResponder
+(reference: cufacesearch/api/api.py:28-557): ``/<endpoint>/<mode>`` with
+search modes ``byURL``/``byPATH``/``bySHA1``/``byB64``, ops modes
+``status``/``refresh``/``check_new_updates``/``check_all_updates``, HTML
+``view_similar_by*`` views, the same options whitelist, per-request
+``Timing``, and the auto-refresh-after-an-hour behavior of
+``check_new_updates`` (api.py:26,340-366).
+
+Flask/gevent/gunicorn are replaced by ``http.server.ThreadingHTTPServer`` —
+dependency-free and adequate because the heavy lifting is batched device
+work; the handler logic lives in :class:`SearchAPI`, which is
+transport-independent (reusable behind any WSGI server).
+"""
+
+import json
+import time
+import urllib.parse
+from datetime import datetime
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+REFRESH_DELAY = 3600
+
+VALID_OPTIONS = ["near_dup", "near_dup_th", "no_blur", "detect_only",
+                 "max_height", "max_returned", "reranking", "rerank_nb"]
+
+
+class SearchAPI:
+    """Transport-independent request processing."""
+
+    def __init__(self, searcher, input_type="image"):
+        self.searcher = searcher
+        self.input_type = input_type
+        self.start_time = datetime.now()
+
+    # ----------------------------------------------------------- utilities
+
+    def get_options_dict(self, options):
+        """Whitelist-parse the options JSON (reference: api/api.py:202-223)."""
+        errors = []
+        options_dict = {}
+        if options:
+            try:
+                options_dict = json.loads(options) if isinstance(options, str) \
+                    else dict(options)
+            except Exception as inst:
+                errors.append({"options": f"could not parse options: {inst}"})
+                options_dict = {}
+            for k in list(options_dict):
+                if k not in VALID_OPTIONS:
+                    errors.append({"option": f"unknown option {k}"})
+                    del options_dict[k]
+        return options_dict, errors
+
+    @staticmethod
+    def append_errors(outp, errors):
+        if errors:
+            outp.setdefault("Errors", []).extend(errors)
+        return outp
+
+    @staticmethod
+    def get_clean_urls_from_query(query):
+        """Comma-in-URL disambiguation (reference: api/api.py:387-408)."""
+        tmp = ["http" + x for x in query.split("http") if x]
+        return [u[:-1] if u.endswith(",") else u for u in tmp]
+
+    # -------------------------------------------------------------- routes
+
+    def process(self, mode, query=None, options=None):
+        """Dispatch one request; returns (status_code, payload_dict_or_html)."""
+        if query is None or mode in ("status", "refresh", "check_new_updates",
+                                     "check_all_updates"):
+            return 200, self.process_mode(mode)
+        start = time.time()
+        try:
+            if mode == "byURL":
+                resp = self.search_byURL(query, options)
+            elif mode == "bySHA1":
+                resp = self.search_bySHA1(query, options)
+            elif mode == "byPATH":
+                resp = self.search_byPATH(query, options)
+            elif mode == "byB64":
+                resp = self.search_byB64(query, options)
+            elif mode.startswith("view_similar_by"):
+                sub = mode[len("view_similar_by"):]
+                inner = self.process("by" + sub, query, options)[1]
+                return 200, self.view_similar(query, inner)
+            else:
+                return 400, {"error": f"unknown_mode: {mode}"}
+        except Exception as inst:
+            return 500, {"error": f"{type(inst).__name__}: {inst}"}
+        resp["Timing"] = time.time() - start
+        return 200, resp
+
+    def process_mode(self, mode):
+        if mode == "status":
+            return self.status()
+        elif mode == "refresh":
+            self.searcher.load_codes()
+            return {"refresh": "just ran a full refresh"}
+        elif mode == "check_all_updates":
+            added = self.searcher.load_codes()
+            d = self.status()
+            d["added"] = added
+            return d
+        elif mode == "check_new_updates":
+            if time.time() - self.searcher.last_refresh > REFRESH_DELAY:
+                self.searcher.load_codes()
+            return self.status()
+        return {"error": f"unknown_mode: {mode}."
+                         " Did you forget to give 'data' parameter?"}
+
+    def status(self):
+        d = {"status": "OK",
+             "API_start_time": self.start_time.isoformat(" "),
+             "API_uptime": str(datetime.now() - self.start_time)}
+        d.update({k: str(v) for k, v in self.searcher.status().items()})
+        return d
+
+    # ------------------------------------------------------------- queries
+
+    def search_byURL(self, query, options=None):
+        urls = self.get_clean_urls_from_query(query)
+        options_dict, errors = self.get_options_dict(options)
+        return self.append_errors(
+            self.searcher.search_imageURL_list(urls, options_dict), errors)
+
+    def search_byPATH(self, query, options=None):
+        options_dict, errors = self.get_options_dict(options)
+        return self.append_errors(
+            self.searcher.search_image_path_list(query.split(","),
+                                                 options_dict), errors)
+
+    def search_bySHA1(self, query, options=None):
+        """Resolve stored URLs/paths for the sha1s, then search
+        (reference: api/api.py:260-285)."""
+        sha1s = query.split(",")
+        options_dict, errors = self.get_options_dict(options)
+        rows = self.searcher.indexer.get_columns_from_sha1_rows(
+            sha1s, columns=[self.searcher.img_column])
+        imgs = []
+        for row in rows:
+            val = row[1][self.searcher.img_column]
+            imgs.append(val.decode() if isinstance(val, bytes) else val)
+        if self.searcher.file_input:
+            outp = self.searcher.search_image_path_list(imgs, options_dict)
+        else:
+            outp = self.searcher.search_imageURL_list(imgs, options_dict)
+        return self.append_errors(outp, errors)
+
+    def search_byB64(self, query, options=None):
+        b64s = [x for x in query.split(",") if not x.startswith("data:")]
+        options_dict, errors = self.get_options_dict(options)
+        return self.append_errors(
+            self.searcher.search_imageB64_list(b64s, options_dict), errors)
+
+    # ---------------------------------------------------------------- html
+
+    def view_similar(self, query, response):
+        """Minimal HTML rendering of a search response (the role of
+        www/templates/view_similar_images.html)."""
+        rows = []
+        m = self.searcher.do.map
+        for entry in response.get(m["all_similar_images"], []):
+            block = entry.get(m["similar_images"], {})
+            sha1 = entry.get(m["query_sha1"], "")
+            cells = "".join(
+                f"<td><img src='{u}' height='120'/><br/>{s}<br/>{d:.4f}</td>"
+                for s, u, d in zip(block.get(m["image_sha1s"], []),
+                                   block.get(m["cached_image_urls"], []),
+                                   block.get(m["distances"], [])))
+            rows.append(f"<tr><th>{sha1}</th>{cells}</tr>")
+        return ("<html><body><h3>Similar images</h3><table border='1'>"
+                + "".join(rows) + "</table></body></html>")
+
+
+def make_server(searcher, endpoint="cuimgsearch", port=5000, host="127.0.0.1",
+                input_type="image"):
+    """Build a ThreadingHTTPServer serving ``/<endpoint>/<mode>``."""
+    api = SearchAPI(searcher, input_type=input_type)
+    prefix = "/" + endpoint.strip("/") + "/"
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet
+            pass
+
+        def _reply(self, code, payload):
+            is_html = isinstance(payload, str)
+            body = (payload if is_html else json.dumps(payload)).encode()
+            self.send_response(code)
+            self.send_header("Content-Type",
+                             "text/html" if is_html else "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _route(self, query_string, body_form=None):
+            parsed = urllib.parse.urlparse(self.path)
+            if not parsed.path.startswith(prefix):
+                return self._reply(404, {"error": "unknown endpoint"})
+            mode = parsed.path[len(prefix):].strip("/")
+            params = urllib.parse.parse_qs(parsed.query)
+            data = params.get("data", [None])[0]
+            options = params.get("options", [None])[0]
+            if body_form:
+                data = body_form.get("data", data)
+                options = body_form.get("options", options)
+                if isinstance(options, (dict, list)):
+                    options = json.dumps(options)
+            code, payload = api.process(mode, data, options)
+            self._reply(code, payload)
+
+        def do_GET(self):
+            self._route(self.path)
+
+        def do_POST(self):
+            length = int(self.headers.get("Content-Length", 0))
+            raw = self.rfile.read(length).decode() if length else ""
+            form = {}
+            ctype = self.headers.get("Content-Type", "")
+            if raw:
+                if "json" in ctype:
+                    form = json.loads(raw)
+                else:
+                    form = {k: v[0] for k, v in
+                            urllib.parse.parse_qs(raw).items()}
+                    if not form and raw:
+                        try:
+                            form = json.loads(raw)
+                        except Exception:
+                            form = {}
+            self._route(self.path, form)
+
+        do_PUT = do_POST
+
+    server = ThreadingHTTPServer((host, port), Handler)
+    server.api = api
+    return server

@@ -1,0 +1,118 @@
+"""Batch ingest bus: the role of the reference's Kafka/Kinesis plumbing.
+
+The reference moves image messages through Kafka topics or Kinesis shards
+(reference: cufacesearch/ingester/kafka_ingester.py:20-251,
+kinesis_ingester.py:16-361, pusher/kafka_pusher.py, local_images_pusher.py).
+In the TPU-native framework the bus is a thin abstraction: producers call
+``send(msg)``, consumers iterate ``get_msg_json()``. Backends:
+
+- :class:`MemoryBus` — in-process topic with consumer offsets journaled to a
+  JSON file (the resume semantics of the Kinesis sequence-number journal,
+  kinesis_ingester.py:63-69,342-347);
+- :class:`LocalDirIngester` — walks a directory and emits per-image messages
+  ``{sha1, img_path, img_info}`` like the reference's LocalImagePusher
+  (pusher/local_images_pusher.py:21-221).
+
+Kafka/Kinesis backends would slot in behind the same two methods; they are
+deliberately not bundled (no kafka-python/boto3 in this environment).
+"""
+
+import json
+import os
+import threading
+
+from columbiaimagesearch_tpu.imgio.imgio import (
+    get_buffer_from_filepath,
+    get_SHA1_img_info_from_buffer,
+)
+
+
+class GenericIngester:
+    def get_msg_json(self):
+        """Yield message dicts; returns when the source is drained."""
+        raise NotImplementedError()
+
+
+class GenericPusher:
+    def send(self, msg):
+        raise NotImplementedError()
+
+
+class MemoryBus:
+    """A named in-process topic store with persistent consumer offsets."""
+
+    def __init__(self, journal_path=None):
+        self.topics = {}
+        self.lock = threading.Lock()
+        self.journal_path = journal_path
+        self.offsets = {}
+        if journal_path and os.path.exists(journal_path):
+            with open(journal_path) as f:
+                self.offsets = json.load(f)
+
+    def publish(self, topic, msg):
+        with self.lock:
+            self.topics.setdefault(topic, []).append(msg)
+
+    def consume(self, topic, group):
+        """Yield messages after the group's committed offset."""
+        key = f"{topic}:{group}"
+        while True:
+            with self.lock:
+                msgs = self.topics.get(topic, [])
+                pos = self.offsets.get(key, 0)
+                if pos >= len(msgs):
+                    return
+                msg = msgs[pos]
+                self.offsets[key] = pos + 1
+                if self.journal_path:
+                    with open(self.journal_path, "w") as f:
+                        json.dump(self.offsets, f)
+            yield msg
+
+
+class MemoryBusPusher(GenericPusher):
+    def __init__(self, bus: MemoryBus, topic: str):
+        self.bus = bus
+        self.topic = topic
+
+    def send(self, msg):
+        self.bus.publish(self.topic, msg)
+
+
+class MemoryBusIngester(GenericIngester):
+    def __init__(self, bus: MemoryBus, topic: str, group: str = "default"):
+        self.bus = bus
+        self.topic = topic
+        self.group = group
+
+    def get_msg_json(self):
+        yield from self.bus.consume(self.topic, self.group)
+
+
+class LocalDirIngester(GenericIngester):
+    """Walk a directory; one message per (new) image file."""
+
+    IMG_EXTS = (".jpg", ".jpeg", ".png", ".gif", ".bmp", ".webp")
+
+    def __init__(self, root, seen=None):
+        self.root = root
+        self.seen = seen if seen is not None else set()
+
+    def get_msg_json(self):
+        for dirpath, _, files in os.walk(self.root):
+            for name in sorted(files):
+                if not name.lower().endswith(self.IMG_EXTS):
+                    continue
+                path = os.path.join(dirpath, name)
+                if path in self.seen:
+                    continue
+                self.seen.add(path)
+                try:
+                    buf = get_buffer_from_filepath(path)
+                    sha1, img_type, w, h = get_SHA1_img_info_from_buffer(buf)
+                except Exception:
+                    continue
+                yield {"sha1": sha1, "img_path": path,
+                       "img_info": {"format": img_type, "width": w,
+                                    "height": h}}

@@ -55,19 +55,20 @@ class KVIndexer:
         self.updateinfocf = UPDATE_INFOCF
         self.dict_up = {}
         self.verbose = 0
-        self._local = threading.local()
+        # One shared connection serialized by a lock: works for ':memory:'
+        # databases (thread-local connections would each see an empty DB)
+        # and keeps multi-threaded API/pipeline access safe.
+        self._lock = threading.RLock()
+        self._shared = sqlite3.connect(self.path, timeout=60,
+                                       check_same_thread=False)
+        self._shared.execute("PRAGMA journal_mode=WAL")
+        self._shared.execute("PRAGMA synchronous=NORMAL")
         self._init_schema()
 
     # ------------------------------------------------------------ plumbing
 
     def _conn(self):
-        conn = getattr(self._local, "conn", None)
-        if conn is None:
-            conn = sqlite3.connect(self.path, timeout=60)
-            conn.execute("PRAGMA journal_mode=WAL")
-            conn.execute("PRAGMA synchronous=NORMAL")
-            self._local.conn = conn
-        return conn
+        return self._shared
 
     def _init_schema(self):
         conn = self._conn()
@@ -121,29 +122,31 @@ class KVIndexer:
         the image buffer column first (reference: lines 621-680)."""
         del families
         conn = self._conn()
-        cur = conn.cursor()
-        for row_key, cols in dict_rows.items():
-            row_size = sum(len(str(v)) for v in cols.values())
-            cols_out = dict(cols)
-            if row_size > MAX_ROW_SIZE and self.get_col_imgbuff() in cols_out:
-                del cols_out[self.get_col_imgbuff()]
-            for col, val in cols_out.items():
-                if isinstance(val, str):
-                    val = val.encode()
-                elif not isinstance(val, (bytes, bytearray)):
-                    val = str(val).encode()
-                cur.execute(
-                    "INSERT OR REPLACE INTO kv (tbl, row, col, val)"
-                    " VALUES (?, ?, ?, ?)",
-                    (table_name, row_key, col, val))
-        conn.commit()
+        with self._lock:
+            cur = conn.cursor()
+            for row_key, cols in dict_rows.items():
+                row_size = sum(len(str(v)) for v in cols.values())
+                cols_out = dict(cols)
+                if row_size > MAX_ROW_SIZE and self.get_col_imgbuff() in cols_out:
+                    del cols_out[self.get_col_imgbuff()]
+                for col, val in cols_out.items():
+                    if isinstance(val, str):
+                        val = val.encode()
+                    elif not isinstance(val, (bytes, bytearray)):
+                        val = str(val).encode()
+                    cur.execute(
+                        "INSERT OR REPLACE INTO kv (tbl, row, col, val)"
+                        " VALUES (?, ?, ?, ?)",
+                        (table_name, row_key, col, val))
+            conn.commit()
         return True
 
     def delete_row(self, table_name, row_key):
         conn = self._conn()
-        conn.execute("DELETE FROM kv WHERE tbl=? AND row=?",
-                     (table_name, row_key))
-        conn.commit()
+        with self._lock:
+            conn.execute("DELETE FROM kv WHERE tbl=? AND row=?",
+                         (table_name, row_key))
+            conn.commit()
 
     # ------------------------------------------------------------- reading
 
@@ -174,7 +177,8 @@ class KVIndexer:
             q += " AND row<?"
             args.append(row_stop)
         q += " ORDER BY row, col"
-        fetched = conn.execute(q, args).fetchall()
+        with self._lock:
+            fetched = conn.execute(q, args).fetchall()
         rows = self._group(fetched)
         if columns:
             prefixes = tuple(columns)
@@ -190,9 +194,11 @@ class KVIndexer:
         for i in range(0, len(list_queries), rbs):
             batch = list(list_queries[i:i + rbs])
             marks = ",".join("?" * len(batch))
-            fetched = conn.execute(
-                f"SELECT row, col, val FROM kv WHERE tbl=? AND row IN ({marks})"
-                " ORDER BY row, col", [table_name] + batch).fetchall()
+            with self._lock:
+                fetched = conn.execute(
+                    f"SELECT row, col, val FROM kv WHERE tbl=? AND row IN"
+                    f" ({marks}) ORDER BY row, col",
+                    [table_name] + batch).fetchall()
             rows = self._group(fetched)
             if columns:
                 prefixes = tuple(columns)

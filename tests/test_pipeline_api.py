@@ -1,0 +1,163 @@
+"""End-to-end: dir ingest -> checker -> processor -> searcher -> REST API."""
+
+import io
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from columbiaimagesearch_tpu.api.app import make_server
+from columbiaimagesearch_tpu.extraction import GenericExtractor
+from columbiaimagesearch_tpu.pipeline import (
+    ExtractionChecker,
+    ExtractionProcessor,
+    LocalDirIngester,
+    MemoryBus,
+    MemoryBusIngester,
+    MemoryBusPusher,
+)
+from columbiaimagesearch_tpu.searcher.searcher_lopq import SearcherLOPQ
+from columbiaimagesearch_tpu.store import KVIndexer, MemoryStorer
+
+
+def make_img(group, seed):
+    r = np.random.RandomState(1000 * group + seed)
+    base = np.zeros((80, 80, 3), np.uint8)
+    base[..., group % 3] = 60 + 20 * group
+    base[15 + group:60, 10:70, (group + 1) % 3] = 200
+    noise = r.randint(0, 30, base.shape, dtype=np.uint8)
+    return np.clip(base.astype(int) + noise, 0, 255).astype(np.uint8)
+
+
+@pytest.fixture(scope="module")
+def pipeline_env(tmp_path_factory):
+    root = tmp_path_factory.mktemp("imgs")
+    paths = []
+    for g in range(8):
+        for s in range(8):
+            p = root / f"img_{g}_{s}.png"
+            Image.fromarray(make_img(g, s)).save(p)
+            paths.append(str(p))
+
+    kv = KVIndexer(path=":memory:")
+    extractor = GenericExtractor("full", "sentibank")
+    extr_str = "sentibank_feat_full_image"
+
+    bus = MemoryBus()
+    checker = ExtractionChecker(
+        kv, extr_str, LocalDirIngester(str(root)),
+        pusher=MemoryBusPusher(bus, "updates"), batch_update_size=30)
+    update_ids = checker.run_once()
+
+    processor = ExtractionProcessor(kv, extractor, nb_threads=4)
+    processed = processor.run_once()
+
+    searcher = SearcherLOPQ(
+        model_type="lopq", V=4, M=4, subquantizer_clusters=16,
+        nb_train=100, nb_min_train=30, train_at_init=True,
+        detector_type="full", featurizer_type="sentibank",
+        indexer=kv, storer=MemoryStorer(), reranking=True, rerank_nb=64,
+        file_input=True)
+    return kv, checker, processor, searcher, update_ids, processed, paths, bus
+
+
+def test_checker_builds_updates(pipeline_env):
+    kv, checker, _, _, update_ids, _, paths, bus = pipeline_env
+    assert len(update_ids) == 3  # 64 images / 30 per update
+    # updates were published on the bus
+    consumed = list(MemoryBusIngester(bus, "updates").get_msg_json())
+    assert len(consumed) == 3
+    # re-running the checker creates no new updates (dedup by seen + processed)
+    assert checker.run_once() == []
+
+
+def test_processor_extracts_all(pipeline_env):
+    kv, _, processor, _, update_ids, processed, paths, _ = pipeline_env
+    assert set(processed) == set(update_ids)
+    # every update marked processed + completed
+    for uid in update_ids:
+        rows = kv.get_rows_by_batch([uid], kv.table_updateinfos_name)
+        cols = rows[0][1]
+        assert kv.get_col_upproc() in cols
+        assert kv.get_col_upcomp() in cols
+    # second pass claims nothing
+    assert processor.run_once() == []
+    # no missing extractions
+    assert processor.check_missing() == []
+
+
+def test_searcher_over_pipeline_output(pipeline_env):
+    kv, _, _, searcher, _, _, paths, _ = pipeline_env
+    assert searcher.get_nb_indexed() == 64
+    out = searcher.search_image_path_list([paths[27]], {"max_returned": 3})
+    block = out["AllSimilarImages"][0]["SimilarImages"]
+    assert block["Distances"][0] < 1e-3  # the indexed image itself
+
+
+def test_rest_api_end_to_end(pipeline_env):
+    kv, _, _, searcher, _, _, paths, _ = pipeline_env
+    server = make_server(searcher, endpoint="cuimgsearch", port=0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        def get(mode, **params):
+            from urllib.parse import urlencode
+
+            qs = ("?" + urlencode(params)) if params else ""
+            url = f"http://127.0.0.1:{port}/cuimgsearch/{mode}{qs}"
+            try:
+                with urllib.request.urlopen(url) as r:
+                    return r.status, json.loads(r.read())
+            except urllib.error.HTTPError as e:
+                return e.code, json.loads(e.read())
+
+        # status
+        code, d = get("status")
+        assert code == 200 and d["status"] == "OK"
+        assert int(d["nb_indexed"]) == 64
+
+        # byPATH search
+        code, d = get("byPATH", data=paths[10],
+                      options='{"max_returned":3}')
+        assert code == 200
+        assert d["NumberImages"] == 1
+        assert "Timing" in d
+        block = d["AllSimilarImages"][0]["SimilarImages"]
+        assert len(block["ImageSha1s"]) >= 1
+
+        # byB64 via POST
+        buf = io.BytesIO()
+        Image.fromarray(make_img(2, 3)).save(buf, format="PNG")
+        import base64
+
+        body = json.dumps({
+            "data": base64.b64encode(buf.getvalue()).decode(),
+            "options": {"max_returned": 2},
+        }).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/cuimgsearch/byB64", data=body,
+            headers={"Content-Type": "application/json"}, method="POST")
+        with urllib.request.urlopen(req) as r:
+            d = json.loads(r.read())
+        assert d["AllSimilarImages"][0]["SimilarImages"]["Distances"][0] \
+            < 1e-3
+
+        # unknown mode -> error
+        code, d = get("nope", data="x")
+        assert code == 400 and "error" in d
+
+        # bad option filtered with error note
+        code, d = get("byPATH", data=paths[0],
+                      options='{"bogus":1}')
+        assert code == 200 and "Errors" in d
+
+        # check_new_updates (fresh refresh -> no-op, still OK)
+        code, d = get("check_new_updates")
+        assert code == 200 and d["status"] == "OK"
+    finally:
+        server.shutdown()
