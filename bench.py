@@ -34,6 +34,61 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def bench_extraction(args, batch=512, reps=10):
+    """Sentibank fc7 extraction throughput (device path: fused preprocess +
+    bf16 forward), dependency-chained inside the rep loop so the timing is
+    true device execution. Target (BASELINE.md): >= 5000 images/sec/chip."""
+    import jax
+    import jax.numpy as jnp
+
+    from columbiaimagesearch_tpu.models.preprocess import (
+        default_mean_image,
+        preprocess_device,
+    )
+    from columbiaimagesearch_tpu.models.sentibank import (
+        _forward_features,
+        init_params,
+    )
+
+    log(f"devices: {jax.devices()}")
+    params = jax.tree.map(lambda a: a.astype(jnp.bfloat16), init_params(0))
+    mean = jnp.asarray(default_mean_image(), dtype=jnp.bfloat16)
+    x8 = jax.random.randint(jax.random.PRNGKey(0), (batch, 256, 256, 3),
+                            0, 255, dtype=jnp.int32).astype(jnp.uint8)
+
+    @jax.jit
+    def step(params, x8, mean, shift):
+        x = preprocess_device(x8, mean).astype(jnp.bfloat16)
+        return _forward_features(params, x + shift)
+
+    out = step(params, x8, mean, jnp.bfloat16(0))
+    # Force the relay out of its non-waiting fast mode: after any D2H it
+    # blocks for real (see .claude/skills/verify/SKILL.md), so the timings
+    # below are true device execution.
+    _ = np.asarray(out[0, 0])
+    rates = []
+    for _ in range(3):
+        shift = jnp.bfloat16(0)
+        s = time.perf_counter()
+        for _ in range(reps):
+            out = step(params, x8, mean, shift)
+            shift = out[0, 0] * 1e-12
+        # The scalar pull depends on every rep through the shift chain.
+        _ = float(np.asarray(out[0, 0]))
+        dt = (time.perf_counter() - s) / reps
+        rates.append(batch / dt)
+        log(f"extraction: {dt*1e3:.1f} ms/batch of {batch} "
+            f"-> {batch/dt:.0f} img/s")
+    rate = float(np.median(rates))
+    baseline = 5000.0
+    print(json.dumps({
+        "metric": "sentibank_extraction_throughput",
+        "value": round(rate, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(rate / baseline, 2),
+    }))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--index-size", type=int, default=10 * (1 << 20))
@@ -46,7 +101,14 @@ def main():
     ap.add_argument("--limit", type=int, default=100)
     ap.add_argument("--batches", type=int, default=5)
     ap.add_argument("--queries-per-batch", type=int, default=20)
+    ap.add_argument("--mode", choices=["query", "extraction"],
+                    default="query",
+                    help="query: p50 ADC latency (headline); extraction: "
+                         "Sentibank images/sec/chip")
     args = ap.parse_args()
+
+    if args.mode == "extraction":
+        return bench_extraction(args)
 
     import jax
     import jax.numpy as jnp

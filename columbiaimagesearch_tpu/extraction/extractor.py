@@ -95,6 +95,48 @@ class GenericExtractor:
         """Batch of buffers -> list of column dicts, one device pass."""
         dtype = get_feat_dtype(self.featurizer_type)
         outs = [self.init_out_dict() for _ in img_buffers]
+
+        # Fast path: full-image featurizers that take encoded buffers go
+        # straight through the native decode pipeline.
+        if self.detector is None and hasattr(self.featurizer,
+                                             "featurize_buffers"):
+            raws = []
+            for buf in img_buffers:
+                if hasattr(buf, "seek"):
+                    buf.seek(0)
+                    raws.append(buf.read())
+                else:
+                    raws.append(bytes(buf))
+            feats, status = self.featurizer.featurize_buffers(raws)
+            retry = []
+            for i, st in enumerate(status):
+                if st != 0:
+                    retry.append(i)
+                else:
+                    outs[i][self.extr_str] = \
+                        normfeatB64encode(feats[i].astype(dtype))
+                    outs[i][self.extr_str_processed] = str(1)
+            # Formats the native decoder doesn't cover (e.g. GIF) retry via
+            # the PIL path before being marked failed.
+            if retry:
+                import io
+
+                good, good_imgs = [], []
+                for i in retry:
+                    try:
+                        good_imgs.append(
+                            load_image_from_buffer(io.BytesIO(raws[i])))
+                        good.append(i)
+                    except Exception:
+                        outs[i] = self.failed_out_dict()
+                if good:
+                    rfeats = self.featurizer.featurize_batch(good_imgs)
+                    for j, i in enumerate(good):
+                        outs[i][self.extr_str] = \
+                            normfeatB64encode(rfeats[j].astype(dtype))
+                        outs[i][self.extr_str_processed] = str(1)
+            return outs
+
         imgs = []
         ok = []
         for i, buf in enumerate(img_buffers):

@@ -38,6 +38,43 @@ def compute_all_neighbors(data1, data2=None, just_nn=True):
     return out
 
 
+def get_proportion_nns_with_same_coarse_codes(data, model, nns=None):
+    """Fraction of points sharing coarse codes with their true NN
+    (reference: eval.py:41-63), batched."""
+    data = np.asarray(data, dtype=np.float32)
+    if nns is None:
+        nns = compute_all_neighbors(data)
+    coarse = model._predict_coarse_batch(data)
+    same = np.all(coarse == coarse[np.asarray(nns)], axis=1)
+    return float(np.mean(same))
+
+
+def get_subquantizer_distortion(data, model):
+    """Mean per-subquantizer squared distortion over locally projected
+    residuals (reference: eval.py:145-161), batched."""
+    from columbiaimagesearch_tpu.ops.kmeans import assign_clusters
+    from columbiaimagesearch_tpu.ops.rotations import (
+        compute_residuals,
+        project_residuals_to_local,
+    )
+
+    data = np.asarray(data, dtype=np.float32)
+    halves = np.split(data, 2, axis=1)
+    projected = []
+    for s in range(2):
+        r, a = compute_residuals(halves[s], model.Cs[s])
+        projected.append(np.asarray(project_residuals_to_local(
+            r, a, model.Rs[s], model.mus[s])))
+    pall = np.concatenate(projected, axis=1)
+    suball = list(model.subquantizers[0]) + list(model.subquantizers[1])
+    M = len(suball)
+    dists = []
+    for sub_data, subC in zip(np.split(pall, M, axis=1), suball):
+        _, md = assign_clusters(sub_data, subC)
+        dists.append(float(np.sum(np.asarray(md))))
+    return np.asarray(dists) / data.shape[0]
+
+
 def get_cell_histogram(data, model):
     """Histogram of points per multi-index cell (reference: eval.py:66-74)."""
     coarse = model._predict_coarse_batch(np.asarray(data, dtype=np.float32))

@@ -84,3 +84,16 @@ def preprocess_batch(imgs, mean):
     """
     stack = np.stack([resize_host(im) for im in imgs])
     return preprocess_device(stack, jnp.asarray(mean))
+
+
+def preprocess_buffers(buffers, mean, n_threads: int = 0):
+    """Encoded buffers -> net input via the native decode+resize pipeline
+    (native/imgpipe.cpp; PIL fallback inside).
+
+    :returns: ([N, 227, 227, 3] float32 device array, status [N] int32 —
+        0 = ok, nonzero rows are zero images)
+    """
+    from columbiaimagesearch_tpu.native import decode_resize_batch
+
+    stack, status = decode_resize_batch(buffers, TARGET, n_threads=n_threads)
+    return preprocess_device(stack, jnp.asarray(mean)), status

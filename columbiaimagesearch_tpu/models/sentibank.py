@@ -82,6 +82,14 @@ def sentibank_features(params, x):
     return _forward_features(params, x)
 
 
+@functools.partial(jax.jit, static_argnames=())
+def sentibank_features_bf16(params_bf16, x):
+    """bf16 throughput path: ~20x the f32 rate on the MXU at batch>=512
+    (use for bulk extraction; f32 for bit-parity work). Returns float32."""
+    return _forward_features(params_bf16, x.astype(jnp.bfloat16)).astype(
+        jnp.float32)
+
+
 @jax.jit
 def sentibank_logits(params, x):
     return DeepSentibank().apply({"params": params}, x)
@@ -138,8 +146,13 @@ class SentibankFeaturizer:
     feat_size = FEATURE_DIM
     feat_type = "sbpycaffe"
 
-    def __init__(self, params=None, mean_image=None, seed: int = 0):
+    def __init__(self, params=None, mean_image=None, seed: int = 0,
+                 compute_dtype="float32"):
         self.params = params if params is not None else init_params(seed)
+        self.compute_dtype = compute_dtype
+        self._params_bf16 = (
+            jax.tree.map(lambda a: a.astype(jnp.bfloat16), self.params)
+            if compute_dtype == "bfloat16" else None)
         from columbiaimagesearch_tpu.models.preprocess import (
             default_mean_image,
             preprocess_batch,
@@ -155,4 +168,17 @@ class SentibankFeaturizer:
 
     def featurize_batch(self, imgs):
         x = self._preprocess(imgs, self.mean)
+        return self._forward(x)
+
+    def featurize_buffers(self, buffers):
+        """Encoded JPEG/PNG buffers -> ([N, 4096] feats, status[N]);
+        native parallel decode feeding one device pass."""
+        from columbiaimagesearch_tpu.models.preprocess import preprocess_buffers
+
+        x, status = preprocess_buffers(buffers, self.mean)
+        return self._forward(x), status
+
+    def _forward(self, x):
+        if self._params_bf16 is not None:
+            return np.asarray(sentibank_features_bf16(self._params_bf16, x))
         return np.asarray(sentibank_features(self.params, x))

@@ -1,0 +1,74 @@
+"""Parallel native decode+resize with PIL fallback."""
+
+import ctypes
+
+import numpy as np
+
+from columbiaimagesearch_tpu.native.build import load_library
+
+_lib = None
+
+
+def _get():
+    global _lib
+    if _lib is None:
+        lib = load_library("imgpipe")
+        if lib is not None:
+            lib.imgpipe_process_batch.restype = ctypes.c_int
+            lib.imgpipe_process_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_int,
+            ]
+        _lib = lib if lib is not None else False
+    return _lib or None
+
+
+def imgpipe_available() -> bool:
+    return _get() is not None
+
+
+def decode_resize_batch(buffers, target: int = 256, n_threads: int = 0):
+    """Decode + lanczos-resize a batch of encoded images.
+
+    :param buffers: list of bytes (JPEG/PNG encoded)
+    :param target: output side length
+    :returns: ([n, target, target, 3] uint8 RGB, status int32 [n] — 0 ok)
+    """
+    n = len(buffers)
+    out = np.zeros((n, target, target, 3), dtype=np.uint8)
+    status = np.zeros(n, dtype=np.int32)
+    if n == 0:
+        return out, status
+
+    lib = _get()
+    if lib is not None:
+        raw = [bytes(b) for b in buffers]
+        arr = (ctypes.c_char_p * n)(*raw)
+        lens = np.asarray([len(b) for b in raw], dtype=np.int64)
+        lib.imgpipe_process_batch(
+            arr, lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            n, target,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            status.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            n_threads)
+        return out, status
+
+    # PIL fallback (single-threaded)
+    import io
+
+    from columbiaimagesearch_tpu.models.preprocess import resize_host
+
+    for i, b in enumerate(buffers):
+        try:
+            from PIL import Image
+
+            img = np.asarray(Image.open(io.BytesIO(bytes(b))).convert("RGB"))
+            out[i] = resize_host(img) if target == 256 else np.asarray(
+                Image.fromarray(img).resize((target, target), Image.LANCZOS))
+        except Exception:
+            status[i] = -1
+    return out, status

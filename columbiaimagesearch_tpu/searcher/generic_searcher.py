@@ -131,6 +131,15 @@ class GenericSearcher:
                 buf = load_fn(image)
                 sha1 = get_SHA1_from_buffer(buf)
                 dets.append((sha1, image if push_img else None))
+                # Use the same decode path as extraction (native imgpipe)
+                # so query features match stored features bit-for-bit.
+                if hasattr(self.featurizer, "featurize_buffers"):
+                    buf.seek(0)
+                    fts, status = self.featurizer.featurize_buffers(
+                        [buf.read()])
+                    if status[0] == 0:
+                        feats.append(fts[0])
+                        continue
                 feats.append(self.featurizer.featurize(
                     load_image_from_buffer(buf)))
         return self.search_from_feats(dets, feats, options_dict)

@@ -1,0 +1,246 @@
+// imgpipe: parallel JPEG/PNG decode + Lanczos resize for the extraction host
+// path.
+//
+// Role: the reference's only native component is a batch Caffe feature tool
+// (reference: cufacesearch/featurizer/data/extract_nfeatures.cpp) — in the
+// TPU-native framework the device does the CNN, and the host bottleneck is
+// decoding and resizing thousands of images per second to feed it. This
+// library decodes JPEG (libjpeg) and PNG (libpng simplified API) and resizes
+// to the 256x256 RGB staging size with a PIL-compatible Lanczos-3 resampler,
+// across a std::thread pool, entirely outside the GIL.
+//
+// C ABI only; Python binds via ctypes (columbiaimagesearch_tpu/native).
+
+#include <algorithm>
+#include <atomic>
+#include <cmath>
+#include <csetjmp>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+#include <jpeglib.h>
+#include <png.h>
+
+namespace {
+
+// ------------------------------------------------------------------ decode
+
+struct Image {
+  int w = 0, h = 0;
+  std::vector<uint8_t> rgb;  // h*w*3
+};
+
+struct JpegErr {
+  jpeg_error_mgr mgr;
+  jmp_buf jb;
+};
+
+void jpeg_err_exit(j_common_ptr cinfo) {
+  JpegErr* err = reinterpret_cast<JpegErr*>(cinfo->err);
+  longjmp(err->jb, 1);
+}
+
+bool decode_jpeg(const uint8_t* buf, size_t len, Image* out) {
+  jpeg_decompress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = jpeg_err_exit;
+  if (setjmp(jerr.jb)) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<uint8_t*>(buf),
+               static_cast<unsigned long>(len));
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  out->w = cinfo.output_width;
+  out->h = cinfo.output_height;
+  out->rgb.resize(size_t(out->w) * out->h * 3);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* row = out->rgb.data() + size_t(cinfo.output_scanline) * out->w * 3;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return true;
+}
+
+bool decode_png(const uint8_t* buf, size_t len, Image* out) {
+  png_image img;
+  memset(&img, 0, sizeof(img));
+  img.version = PNG_IMAGE_VERSION;
+  if (!png_image_begin_read_from_memory(&img, buf, len)) return false;
+  img.format = PNG_FORMAT_RGB;
+  out->w = img.width;
+  out->h = img.height;
+  out->rgb.resize(PNG_IMAGE_SIZE(img));
+  if (!png_image_finish_read(&img, nullptr, out->rgb.data(), 0, nullptr)) {
+    png_image_free(&img);
+    return false;
+  }
+  return true;
+}
+
+bool decode_any(const uint8_t* buf, size_t len, Image* out) {
+  if (len > 3 && buf[0] == 0xFF && buf[1] == 0xD8) {
+    return decode_jpeg(buf, len, out);
+  }
+  if (len > 8 && buf[0] == 0x89 && buf[1] == 'P' && buf[2] == 'N' &&
+      buf[3] == 'G') {
+    return decode_png(buf, len, out);
+  }
+  // Try both as a fallback.
+  return decode_jpeg(buf, len, out) || decode_png(buf, len, out);
+}
+
+// ------------------------------------------------------------------ resize
+
+// PIL-compatible Lanczos-3: when minifying, the kernel is stretched by the
+// scale factor (area-style antialiasing), weights normalized per output
+// pixel (Pillow src/libImaging/Resample.c semantics).
+inline double lanczos3(double x) {
+  if (x <= -3.0 || x >= 3.0) return 0.0;
+  if (x == 0.0) return 1.0;
+  double pix = M_PI * x;
+  return 3.0 * std::sin(pix) * std::sin(pix / 3.0) / (pix * pix);
+}
+
+struct Weights {
+  int n;                       // taps per output pixel
+  std::vector<int> start;      // first input index per output pixel
+  std::vector<double> w;       // [out_size, n] weights
+};
+
+Weights precompute_weights(int in_size, int out_size) {
+  Weights ws;
+  double scale = double(in_size) / out_size;
+  double filterscale = std::max(scale, 1.0);
+  double support = 3.0 * filterscale;
+  ws.n = int(std::ceil(support)) * 2 + 1;
+  ws.start.resize(out_size);
+  ws.w.assign(size_t(out_size) * ws.n, 0.0);
+  for (int xx = 0; xx < out_size; xx++) {
+    double center = (xx + 0.5) * scale;
+    int xmin = std::max(0, int(center - support + 0.5));
+    int xmax = std::min(in_size, int(center + support + 0.5));
+    ws.start[xx] = xmin;
+    double sum = 0.0;
+    for (int x = xmin; x < xmax; x++) {
+      double wv = lanczos3((x - center + 0.5) / filterscale);
+      ws.w[size_t(xx) * ws.n + (x - xmin)] = wv;
+      sum += wv;
+    }
+    if (sum != 0.0) {
+      for (int k = 0; k < xmax - xmin; k++) {
+        ws.w[size_t(xx) * ws.n + k] /= sum;
+      }
+    }
+  }
+  return ws;
+}
+
+inline uint8_t clamp8(double v) {
+  return uint8_t(std::min(255.0, std::max(0.0, v + 0.5)));
+}
+
+// Separable resize to target x target RGB.
+void resize_lanczos(const Image& in, int target, uint8_t* out) {
+  Weights wx = precompute_weights(in.w, target);
+  Weights wy = precompute_weights(in.h, target);
+  // Horizontal pass: [in.h, target, 3] doubles.
+  std::vector<double> tmp(size_t(in.h) * target * 3);
+  for (int y = 0; y < in.h; y++) {
+    const uint8_t* row = in.rgb.data() + size_t(y) * in.w * 3;
+    double* trow = tmp.data() + size_t(y) * target * 3;
+    for (int xx = 0; xx < target; xx++) {
+      double acc[3] = {0, 0, 0};
+      int x0 = wx.start[xx];
+      const double* wrow = wx.w.data() + size_t(xx) * wx.n;
+      for (int k = 0; k < wx.n; k++) {
+        int x = x0 + k;
+        if (x >= in.w) break;
+        double wv = wrow[k];
+        if (wv == 0.0) continue;
+        const uint8_t* p = row + size_t(x) * 3;
+        acc[0] += wv * p[0];
+        acc[1] += wv * p[1];
+        acc[2] += wv * p[2];
+      }
+      trow[size_t(xx) * 3 + 0] = acc[0];
+      trow[size_t(xx) * 3 + 1] = acc[1];
+      trow[size_t(xx) * 3 + 2] = acc[2];
+    }
+  }
+  // Vertical pass.
+  for (int yy = 0; yy < target; yy++) {
+    int y0 = wy.start[yy];
+    const double* wcol = wy.w.data() + size_t(yy) * wy.n;
+    uint8_t* orow = out + size_t(yy) * target * 3;
+    for (int xx = 0; xx < target; xx++) {
+      double acc[3] = {0, 0, 0};
+      for (int k = 0; k < wy.n; k++) {
+        int y = y0 + k;
+        if (y >= in.h) break;
+        double wv = wcol[k];
+        if (wv == 0.0) continue;
+        const double* p = tmp.data() + (size_t(y) * target + xx) * 3;
+        acc[0] += wv * p[0];
+        acc[1] += wv * p[1];
+        acc[2] += wv * p[2];
+      }
+      orow[size_t(xx) * 3 + 0] = clamp8(acc[0]);
+      orow[size_t(xx) * 3 + 1] = clamp8(acc[1]);
+      orow[size_t(xx) * 3 + 2] = clamp8(acc[2]);
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode + resize a batch. out must hold n*target*target*3 bytes.
+// status[i]: 0 ok, -1 decode failed, -2 empty input.
+int imgpipe_process_batch(const uint8_t* const* bufs, const int64_t* lens,
+                          int n, int target, uint8_t* out, int32_t* status,
+                          int n_threads) {
+  if (n <= 0) return 0;
+  if (n_threads <= 0) n_threads = std::thread::hardware_concurrency();
+  n_threads = std::max(1, std::min(n_threads, n));
+  std::atomic<int> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n) return;
+      if (lens[i] <= 0) {
+        status[i] = -2;
+        continue;
+      }
+      Image img;
+      if (!decode_any(bufs[i], size_t(lens[i]), &img)) {
+        status[i] = -1;
+        continue;
+      }
+      resize_lanczos(img, target, out + size_t(i) * target * target * 3);
+      status[i] = 0;
+    }
+  };
+  std::vector<std::thread> pool;
+  for (int t = 0; t < n_threads; t++) pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
+  int ok = 0;
+  for (int i = 0; i < n; i++) ok += (status[i] == 0);
+  return ok;
+}
+
+// Version/self-test hook.
+int imgpipe_version() { return 1; }
+
+}  // extern "C"
