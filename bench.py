@@ -180,7 +180,7 @@ def main():
 
     # ---- scan-chained query batches --------------------------------------
     B = min(args.probe_width, args.V)
-    Q = round_up(int(args.quota * 3 // 2) + 256, 1024)
+    Q = round_up(args.quota + 1024, 1024)
     K = round_up(args.limit, 16)
     quota = jnp.asarray(args.quota, dtype=jnp.int32)
     nq = args.queries_per_batch

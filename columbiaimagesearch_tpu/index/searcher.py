@@ -167,7 +167,7 @@ class LOPQSearcherTPU(LOPQSearcherBase):
     mutation — the incremental-append role of the reference's LMDB index.
     """
 
-    def __init__(self, model, probe_width=None):
+    def __init__(self, model, probe_width=None, codestore_path=None):
         super().__init__()
         self.model = model
         self.probe_width = probe_width
@@ -177,6 +177,19 @@ class LOPQSearcherTPU(LOPQSearcherBase):
         self._ids = None
         self._dev = None    # (codes_dev, cell_start_dev, params...)
         self._dirty = True
+        self._codestore = None
+        if codestore_path is not None:
+            # Durable native store (native/codestore.cpp): appends persist,
+            # restarts reload the sorted records in one pass.
+            from columbiaimagesearch_tpu.native import CodeStore
+
+            self._codestore = CodeStore(codestore_path, m=model.M)
+            if len(self._codestore):
+                cells, fine, ids = self._codestore.read_all()
+                ids_arr = np.empty(len(ids), dtype=object)
+                ids_arr[:] = ids
+                self._pending.append(
+                    (cells.astype(np.int64), fine, ids_arr))
 
     def get_nb_indexed(self):
         self._pack()
@@ -190,6 +203,11 @@ class LOPQSearcherTPU(LOPQSearcherBase):
         cells = (coarse[:, 0].astype(np.int64) * self.model.V
                  + coarse[:, 1].astype(np.int64))
         self._pending.append((cells, fine.astype(np.uint8), ids_arr))
+        if self._codestore is not None:
+            self._codestore.append(cells.astype(np.uint32),
+                                   fine.astype(np.uint8),
+                                   [str(i) for i in ids_arr])
+            self._codestore.sync()
         self._dirty = True
 
     def _pack(self):
@@ -280,7 +298,7 @@ class LOPQSearcherTPU(LOPQSearcherBase):
         V = self.model.V
         B = self.probe_width or min(V, 64)
         K = min(limit if limit is not None else quota, self.nb_indexed)
-        Q = min(round_up(int(quota * 1.5) + 256, 1024), round_up(self.nb_indexed, 256))
+        Q = min(round_up(int(quota) + 1024, 1024), round_up(self.nb_indexed, 256))
         K_pad = min(round_up(K, 16), Q)
 
         d = self._dev

@@ -66,9 +66,12 @@ def lopq_query(
     td0, td1 = -nd0, -nd1
 
     # --- 2. sorted B x B cell grid (multisequence order) -------------------
+    # lax.top_k returns its k results sorted ascending in distance — exactly
+    # the multisequence visitation order — and is markedly cheaper than a
+    # full argsort of the grid on TPU.
     grid = td0[:, None] + td1[None, :]              # [B, B]
     flat = grid.reshape(-1)
-    order = jnp.argsort(flat)                        # ascending approx dist
+    _, order = jax.lax.top_k(-flat, B * B)
     a_idx, b_idx = order // B, order % B             # slots into i0 / i1
     cell_ids = i0[a_idx] * V + i1[b_idx]             # [B*B] global cell ids
 

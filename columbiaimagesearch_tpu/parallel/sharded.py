@@ -208,3 +208,64 @@ class ShardedLOPQIndex:
             d_id, d_row = int(r) % n_dev, int(r) // n_dev
             out.append((self._ids[d_id, d_row], float(dist)))
         return out, int(np.asarray(ncells)[0])
+
+
+class ShardedLOPQSearcher:
+    """LOPQSearcher-compatible facade over :class:`ShardedLOPQIndex`.
+
+    Drop-in index backend for SearcherLOPQ when serving on a multi-chip
+    mesh: accumulates code dicts, rebuilds the sharded CSR lazily, and
+    returns the same Result tuples as the single-chip searchers.
+    """
+
+    def __init__(self, model, mesh=None, probe_width=None):
+        self.model = model
+        self.index = ShardedLOPQIndex(model, mesh=mesh,
+                                      probe_width=probe_width)
+        self._coarse = []
+        self._fine = []
+        self._ids = []
+        self._dirty = False
+        self.nb_indexed = 0
+
+    def add_codes_from_dict(self, codes_dict):
+        for sid, (coarse, fine) in codes_dict.items():
+            self._coarse.append(coarse)
+            self._fine.append(fine)
+            self._ids.append(sid)
+        self._dirty = True
+
+    def get_nb_indexed(self):
+        self._maybe_build()
+        return self.nb_indexed
+
+    def _maybe_build(self):
+        if self._dirty and self._ids:
+            # Dedup (cell, id) keeping first insertion.
+            seen = set()
+            coarse, fine, ids = [], [], []
+            for c, f, i in zip(self._coarse, self._fine, self._ids):
+                key = (tuple(int(x) for x in c), i)
+                if key in seen:
+                    continue
+                seen.add(key)
+                coarse.append(c)
+                fine.append(f)
+                ids.append(i)
+            self.index.build(np.asarray(coarse, dtype=np.int32),
+                             np.asarray(fine, dtype=np.int32), ids)
+            self.nb_indexed = self.index.nb_indexed
+            self._dirty = False
+
+    def search(self, x, quota=10, limit=None, with_dists=False):
+        from columbiaimagesearch_tpu.index.searcher import Result, ResultDist
+
+        self._maybe_build()
+        if self.nb_indexed == 0:
+            return [], 0
+        pairs, visited = self.index.search(x, quota=quota, limit=limit)
+        if with_dists:
+            out = [ResultDist(rid, None, dist) for rid, dist in pairs]
+        else:
+            out = [Result(rid, None) for rid, dist in pairs]
+        return out, visited

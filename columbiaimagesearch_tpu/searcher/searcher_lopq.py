@@ -31,7 +31,10 @@ class SearcherLOPQ(GenericSearcher):
     def __init__(self, model_type="lopq", V=256, M=8,
                  subquantizer_clusters=256, pca_dims=256, nb_train=100000,
                  nb_min_train=1000, nb_train_pca=50000, model=None,
-                 train_at_init=False, probe_width=None, **kwargs):
+                 train_at_init=False, probe_width=None, sharded=False,
+                 codestore_path=None, **kwargs):
+        self.sharded = sharded
+        self.codestore_path = codestore_path
         self.model_type = model_type
         self.V = V
         self.M = M
@@ -92,8 +95,18 @@ class SearcherLOPQ(GenericSearcher):
             self.load_codes()
 
     def _init_device_searcher(self):
-        self.searcher = LOPQSearcherTPU(self.model,
-                                        probe_width=self.probe_width)
+        if self.sharded:
+            # Multi-chip serving: row-shard the index across the mesh.
+            from columbiaimagesearch_tpu.parallel.sharded import (
+                ShardedLOPQSearcher,
+            )
+
+            self.searcher = ShardedLOPQSearcher(
+                self.model, probe_width=self.probe_width)
+        else:
+            self.searcher = LOPQSearcherTPU(
+                self.model, probe_width=self.probe_width,
+                codestore_path=self.codestore_path)
 
     def get_train_features(self, nb_features, start_date=START_DATE):
         """Harvest features from the indexer's updates
