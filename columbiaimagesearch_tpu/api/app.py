@@ -82,6 +82,8 @@ class SearchAPI:
                 resp = self.search_byPATH(query, options)
             elif mode == "byB64":
                 resp = self.search_byB64(query, options)
+            elif mode == "view_image_sha1":
+                return 200, self.view_image_sha1(query)
             elif mode.startswith("view_similar_by"):
                 sub = mode[len("view_similar_by"):]
                 inner = self.process("by" + sub, query, options)[1]
@@ -154,6 +156,21 @@ class SearchAPI:
         options_dict, errors = self.get_options_dict(options)
         return self.append_errors(
             self.searcher.search_imageB64_list(b64s, options_dict), errors)
+
+    def view_image_sha1(self, query):
+        """HTML page showing the stored image(s) for sha1(s)
+        (reference: api/api.py view_image_sha1 mode)."""
+        sha1s = query.split(",")
+        rows = self.searcher.indexer.get_columns_from_sha1_rows(
+            sha1s, columns=[self.searcher.img_column])
+        cells = []
+        for row in rows:
+            val = row[1].get(self.searcher.img_column, b"")
+            url = val.decode() if isinstance(val, bytes) else val
+            cells.append(f"<td><img src='{url}' height='200'/><br/>{row[0]}"
+                         "</td>")
+        return ("<html><body><table><tr>" + "".join(cells)
+                + "</tr></table></body></html>")
 
     # ---------------------------------------------------------------- html
 

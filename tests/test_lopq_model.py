@@ -147,3 +147,22 @@ def test_mat_npz_roundtrip(tmp_path, injected_model):
         c2, f2 = loaded.predict_batch(X[:5])
         np.testing.assert_array_equal(c1, c2)
         np.testing.assert_array_equal(f1, f2)
+
+
+def test_proto_roundtrip(tmp_path, injected_model):
+    model, _, X = injected_model
+    path = str(tmp_path / "model.pb")
+    model.export_proto(path)
+    loaded = LOPQModel.load_proto(path)
+    assert loaded.V == model.V and loaded.M == model.M
+    assert loaded.subquantizer_clusters == model.subquantizer_clusters
+    c1, f1 = model.predict_batch(X[:5])
+    c2, f2 = loaded.predict_batch(X[:5])
+    np.testing.assert_array_equal(c1, c2)
+    np.testing.assert_array_equal(f1, f2)
+    # parameters survive the float32 wire format exactly
+    np.testing.assert_array_equal(loaded.Cs[0], model.Cs[0])
+    np.testing.assert_array_equal(loaded.Rs[1], model.Rs[1])
+    np.testing.assert_array_equal(loaded.mus[0], model.mus[0])
+    np.testing.assert_array_equal(loaded.subquantizers[1][0],
+                                  model.subquantizers[1][0])

@@ -161,3 +161,27 @@ def test_rest_api_end_to_end(pipeline_env):
         assert code == 200 and d["status"] == "OK"
     finally:
         server.shutdown()
+
+
+def test_image_downloader_extract_urls():
+    from columbiaimagesearch_tpu.pipeline.downloader import ImageDownloader
+    from columbiaimagesearch_tpu.pipeline.ingest import (
+        MemoryBus,
+        MemoryBusIngester,
+        MemoryBusPusher,
+    )
+
+    bus = MemoryBus()
+    dl = ImageDownloader(MemoryBusIngester(bus, "docs"),
+                         MemoryBusPusher(bus, "images"), nb_threads=2)
+    doc = {"objects": [{"obj_stored_url": "http://a/x.jpg"},
+                       {"obj_original_url": "http://b/y.jpg"}],
+           "url": "http://a/x.jpg"}
+    urls = dl.extract_urls(doc)
+    assert urls == ["http://a/x.jpg", "http://b/y.jpg"]  # deduped, ordered
+
+    # Downloads fail fast against unreachable URLs -> no messages, no crash.
+    bus.publish("docs", doc)
+    emitted = dl.run_once()
+    assert emitted == 0
+    assert dl.stats.failed == 2
