@@ -256,3 +256,63 @@ class ExhaustiveADC:
                 results.append(([self._ids[i] for i in idx[q][keep]],
                                 out_d[q][keep]))
         return results
+
+
+class ExhaustiveADCSearcher:
+    """LOPQSearcher-compatible facade over :class:`ExhaustiveADC`.
+
+    Drop-in backend for SearcherLOPQ(exact=True): accumulates code dicts,
+    rebuilds the padded layout lazily, returns Result tuples. ``quota`` is
+    ignored — every indexed item is scored.
+    """
+
+    def __init__(self, model, interpret=False):
+        self.model = model
+        self.index = ExhaustiveADC(model, interpret=interpret)
+        self._coarse, self._fine, self._ids2 = [], [], []
+        self._dirty = False
+        self.nb_indexed = 0
+
+    def add_codes_from_dict(self, codes_dict):
+        for sid, (coarse, fine) in codes_dict.items():
+            self._coarse.append(coarse)
+            self._fine.append(fine)
+            self._ids2.append(sid)
+        self._dirty = True
+
+    def get_nb_indexed(self):
+        self._maybe_build()
+        return self.nb_indexed
+
+    def _maybe_build(self):
+        if self._dirty and self._ids2:
+            seen = set()
+            coarse, fine, ids = [], [], []
+            for c, f, i in zip(self._coarse, self._fine, self._ids2):
+                key = (tuple(int(x) for x in c), i)
+                if key in seen:
+                    continue
+                seen.add(key)
+                coarse.append(c)
+                fine.append(f)
+                ids.append(i)
+            self.index.build(np.asarray(coarse, dtype=np.int32),
+                             np.asarray(fine, dtype=np.uint8), ids)
+            self.nb_indexed = len(ids)
+            self._dirty = False
+
+    def search(self, x, quota=10, limit=None, with_dists=False):
+        from columbiaimagesearch_tpu.index.searcher import Result, ResultDist
+
+        self._maybe_build()
+        if self.nb_indexed == 0:
+            return [], 0
+        k = limit if limit is not None else quota
+        ids, dists = self.index.search(np.asarray(x, dtype=np.float32), k=k)
+        if with_dists:
+            out = [ResultDist(rid, None, float(d))
+                   for rid, d in zip(ids, dists)]
+        else:
+            out = [Result(rid, None) for rid in ids]
+        # visited = all cells, by construction
+        return out, self.model.V * self.model.V

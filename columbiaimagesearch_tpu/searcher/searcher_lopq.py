@@ -32,8 +32,9 @@ class SearcherLOPQ(GenericSearcher):
                  subquantizer_clusters=256, pca_dims=256, nb_train=100000,
                  nb_min_train=1000, nb_train_pca=50000, model=None,
                  train_at_init=False, probe_width=None, sharded=False,
-                 codestore_path=None, **kwargs):
+                 exact=False, codestore_path=None, **kwargs):
         self.sharded = sharded
+        self.exact = exact
         self.codestore_path = codestore_path
         self.model_type = model_type
         self.V = V
@@ -95,6 +96,14 @@ class SearcherLOPQ(GenericSearcher):
             self.load_codes()
 
     def _init_device_searcher(self):
+        if self.exact:
+            # Probe-free exact search (Pallas exhaustive-ADC kernel).
+            from columbiaimagesearch_tpu.index.pallas_adc import (
+                ExhaustiveADCSearcher,
+            )
+
+            self.searcher = ExhaustiveADCSearcher(self.model)
+            return
         if self.sharded:
             # Multi-chip serving: row-shard the index across the mesh.
             from columbiaimagesearch_tpu.parallel.sharded import (

@@ -71,3 +71,29 @@ def test_exhaustive_beats_probed_recall(built):
         ref, _ = host.search(q, quota=len(X), limit=5, with_dists=True)
         assert ids[0] == ref[0].id
         np.testing.assert_allclose(dists[0], ref[0].dist, rtol=1e-3)
+
+
+def test_exact_searcher_backend():
+    import jax
+
+    from columbiaimagesearch_tpu.index.pallas_adc import ExhaustiveADCSearcher
+    from columbiaimagesearch_tpu.index.model import LOPQModel
+
+    rng = np.random.RandomState(5)
+    params = random_params(rng, V=8, M=4, S=16, D=32)
+    model = LOPQModel(parameters=params)
+    X = rng.randn(800, 32).astype(np.float32)
+    coarse, fine = model.predict_batch(X)
+
+    s = ExhaustiveADCSearcher(model, interpret=True)
+    s.add_codes_from_dict({f"v{i}": (tuple(coarse[i]), tuple(fine[i]))
+                           for i in range(len(X))})
+    assert s.get_nb_indexed() == 800
+    res, visited = s.search(X[3], quota=5, with_dists=True)
+    assert visited == model.V ** 2
+    # exact global ADC minimum vs host full-quota search
+    host = LOPQSearcher(model)
+    host.add_codes((coarse, fine), [f"v{i}" for i in range(len(X))])
+    ref, _ = host.search(X[3], quota=800, limit=5, with_dists=True)
+    assert res[0].id == ref[0].id
+    np.testing.assert_allclose(res[0].dist, ref[0].dist, rtol=1e-3)
