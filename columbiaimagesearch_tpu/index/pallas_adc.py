@@ -29,7 +29,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BLK = 128    # rows per cell-block; also the per-cell padding quantum
-CHUNK = 8    # cell-blocks processed per grid step
+CHUNK = 2    # cell-blocks per grid step (unrolled; bounded by VMEM stack)
 
 
 def _adc_kernel(block_cell, block_count, codes_ref, *rest):

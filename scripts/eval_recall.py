@@ -1,0 +1,148 @@
+#!/usr/bin/env python
+"""Recall@k evaluation: probed vs exact vs brute force.
+
+The measurement the reference carries as a library but never wires in
+(reference: lopq/lopq/eval.py:92-142, TODO at searcher_lopqhbase.py:477-480):
+train a model on synthetic clustered data, index N vectors, and report
+recall@{1,10,100} of (a) the fused probed searcher at the production quota
+and (b) the exhaustive Pallas kernel, against brute-force ground truth.
+
+Usage: python scripts/eval_recall.py --n 1000000 --V 256 --queries 100
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1_000_000)
+    ap.add_argument("--dim", type=int, default=128)
+    ap.add_argument("--train-n", type=int, default=100_000)
+    ap.add_argument("--V", type=int, default=256)
+    ap.add_argument("--M", type=int, default=8)
+    ap.add_argument("--queries", type=int, default=100)
+    ap.add_argument("--quota", type=int, default=10_000)
+    ap.add_argument("--query-noise", type=float, default=0.1,
+                    help="queries are indexed points + this noise (the "
+                         "near-duplicate retrieval scenario the system "
+                         "serves); 0 disables and samples fresh points")
+    ap.add_argument("--skip-exact", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from columbiaimagesearch_tpu.index.model import LOPQModel
+    from columbiaimagesearch_tpu.index.searcher import LOPQSearcherTPU
+    from columbiaimagesearch_tpu.index.tpu_encode import lopq_encode
+
+    t0 = time.time()
+    rng = np.random.RandomState(0)
+    n_comp = 512
+    comp = rng.randn(n_comp, args.dim).astype(np.float32)
+    comp /= np.linalg.norm(comp, axis=1, keepdims=True)
+
+    def synth(n, seed):
+        r = np.random.RandomState(seed)
+        return (comp[r.randint(0, n_comp, n)]
+                + 0.25 * r.randn(n, args.dim)).astype(np.float32)
+
+    train = synth(args.train_n, 1)
+    print(f"[{time.time()-t0:.0f}s] training V={args.V} M={args.M}",
+          file=sys.stderr, flush=True)
+    model = LOPQModel(V=args.V, M=args.M, subquantizer_clusters=256)
+    model.fit(train, n_init=1, random_state=0)
+
+    X = synth(args.n, 2)
+    if args.query_noise > 0:
+        r = np.random.RandomState(3)
+        src = r.randint(0, args.n, args.queries)
+        queries = (X[src] + args.query_noise
+                   * r.randn(args.queries, args.dim)).astype(np.float32)
+    else:
+        queries = synth(args.queries, 3)
+
+    # Brute-force ground truth on device, chunked.
+    print(f"[{time.time()-t0:.0f}s] brute-force ground truth",
+          file=sys.stderr, flush=True)
+    Xd = jnp.asarray(X)
+    qd = jnp.asarray(queries)
+
+    @jax.jit
+    def true_nn(qd, Xd):
+        d = (jnp.sum(Xd * Xd, 1)[None, :]
+             - 2.0 * jnp.dot(qd, Xd.T, preferred_element_type=jnp.float32))
+        return jnp.argmin(d, axis=1)
+
+    nns = np.asarray(true_nn(qd, Xd))
+
+    Cs = jnp.stack([jnp.asarray(C) for C in model.Cs])
+    Rs = jnp.stack([jnp.asarray(R) for R in model.Rs])
+    mus = jnp.stack([jnp.asarray(m) for m in model.mus])
+    subs = jnp.stack([jnp.stack([jnp.asarray(s) for s in h])
+                      for h in model.subquantizers])
+    print(f"[{time.time()-t0:.0f}s] encoding {args.n}", file=sys.stderr,
+          flush=True)
+    from columbiaimagesearch_tpu.utils.chunking import round_up
+
+    Xp = np.pad(X, [(0, round_up(args.n, 4096) - args.n), (0, 0)])
+    coarse, fine = lopq_encode(Cs, Rs, mus, subs, jnp.asarray(Xp), chunk=4096)
+    coarse = np.asarray(coarse)[:args.n]
+    fine = np.asarray(fine)[:args.n].astype(np.uint8)
+
+    def recall(search_fn, label):
+        hits = {1: 0, 10: 0, 100: 0}
+        for qi, q in enumerate(queries):
+            ids = search_fn(q)
+            for k in hits:
+                if nns[qi] in ids[:k]:
+                    hits[k] += 1
+        out = {f"recall@{k}": hits[k] / len(queries) for k in hits}
+        print(json.dumps({"method": label, **out}))
+        return out
+
+    # Probed searcher at production quota.
+    s = LOPQSearcherTPU(model)
+    s.add_codes((coarse, fine), ids=list(range(args.n)))
+    print(f"[{time.time()-t0:.0f}s] probed search", file=sys.stderr,
+          flush=True)
+    recall(lambda q: [r.id for r in
+                      s.search(q, quota=args.quota, limit=100)[0]],
+           f"probed_quota{args.quota}")
+
+    # Probed + exact-feature rerank (the production configuration:
+    # reference searcher_lopqhbase reranking path).
+    def probed_rerank(q):
+        res, _ = s.search(q, quota=args.quota, limit=1000, with_dists=True)
+        cand = np.asarray([r.id for r in res])
+        if not len(cand):
+            return []
+        exact = np.linalg.norm(X[cand] - q[None, :], axis=1)
+        return cand[np.argsort(exact)][:100].tolist()
+
+    print(f"[{time.time()-t0:.0f}s] probed + rerank", file=sys.stderr,
+          flush=True)
+    recall(probed_rerank, f"probed_quota{args.quota}_rerank1000")
+
+    if not args.skip_exact:
+        from columbiaimagesearch_tpu.index.pallas_adc import ExhaustiveADC
+
+        print(f"[{time.time()-t0:.0f}s] exhaustive exact search",
+              file=sys.stderr, flush=True)
+        ex = ExhaustiveADC(model)
+        ex.build(coarse, fine, ids=list(range(args.n)))
+        recall(lambda q: ex.search(q, k=100)[0], "exhaustive_exact")
+
+    print(f"[{time.time()-t0:.0f}s] done", file=sys.stderr, flush=True)
+
+
+if __name__ == "__main__":
+    main()
