@@ -122,15 +122,23 @@ class FaceEmbedder:
     feat_size = EMBED_DIM
     feat_type = "dlib"
 
-    def __init__(self, params=None, seed: int = 0):
+    def __init__(self, params=None, seed: int = 0, aligner=None):
+        """:param aligner: optional FaceAligner (models.face_align) — when
+        set, chips are landmark-aligned like the reference's dlib pipeline
+        instead of padded bbox crops."""
         self.params = params if params is not None else init_params(seed)
+        self.aligner = aligner
 
     def featurize(self, img, bbox):
         return self.featurize_batch(img, [bbox])[0]
 
     def featurize_batch(self, img, bboxes):
         """One image, many bboxes -> [len(bboxes), 128] float64."""
-        chips = np.stack([extract_chip(img, b) for b in bboxes]).astype(np.float32)
+        if self.aligner is not None:
+            chips = self.aligner.align(img, bboxes).astype(np.float32)
+        else:
+            chips = np.stack([extract_chip(img, b)
+                              for b in bboxes]).astype(np.float32)
         out = np.asarray(face_embeddings(self.params, chips))
         return out.astype(np.float64)
 

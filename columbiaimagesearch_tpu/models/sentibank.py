@@ -134,6 +134,26 @@ def load_caffe_weights(blobs: dict):
     return params
 
 
+def load_torch_weights(state_dict):
+    """Convert a torch state dict (Conv2d/Linear modules named conv1..conv5,
+    fc6, fc7, fc8) into Flax params — torch's [out, in/g, kh, kw] conv and
+    [out, in] linear layouts are identical to Caffe's, so this reuses the
+    Caffe converter."""
+    import numpy as np
+
+    def get(name):
+        w = state_dict[f"{name}.weight"]
+        b = state_dict[f"{name}.bias"]
+        to_np = (lambda t: t.detach().cpu().numpy()
+                 if hasattr(t, "detach") else np.asarray(t))
+        return to_np(w), to_np(b)
+
+    blobs = {n: get(n) for n in
+             ["conv1", "conv2", "conv3", "conv4", "conv5", "fc6", "fc7"]}
+    blobs["fc8-t"] = get("fc8")
+    return load_caffe_weights(blobs)
+
+
 class SentibankFeaturizer:
     """Featurizer facade with the reference's contract: image in, 4096-d
     float32 fc7 out (reference: featurizer/sbpycaffe_img_featurizer.py

@@ -168,23 +168,29 @@ class KVIndexer:
         """Ordered scan (reference: lines 331-368); returns
         [(row_key, {col: val})]."""
         conn = self._conn()
-        q = "SELECT row, col, val FROM kv WHERE tbl=?"
+        # Page at the SQL level: restrict to the first ``maxrows`` distinct
+        # row keys (a full-table fetch would make update scans O(N) per page
+        # at millions of rows).
+        cond = "tbl=?"
         args = [table_name]
         if row_start is not None:
-            q += " AND row>=?"
+            cond += " AND row>=?"
             args.append(row_start)
         if row_stop is not None:
-            q += " AND row<?"
+            cond += " AND row<?"
             args.append(row_stop)
-        q += " ORDER BY row, col"
+        q = (f"SELECT row, col, val FROM kv WHERE {cond}"
+             " AND row IN (SELECT DISTINCT row FROM kv WHERE "
+             + cond + " ORDER BY row LIMIT ?) ORDER BY row, col")
+        sql_args = args + args + [maxrows if maxrows else -1]
         with self._lock:
-            fetched = conn.execute(q, args).fetchall()
+            fetched = conn.execute(q, sql_args).fetchall()
         rows = self._group(fetched)
         if columns:
             prefixes = tuple(columns)
             rows = [(r, {c: v for c, v in cols.items()
                          if c.startswith(prefixes)}) for r, cols in rows]
-        return rows[:maxrows] if maxrows else rows
+        return rows
 
     def get_rows_by_batch(self, list_queries, table_name, rbs=READ_BATCH_SIZE,
                           columns=None):

@@ -138,3 +138,16 @@ def test_featurizer_facade():
     assert feats.shape == (3, 4096)
     single = f.featurize(imgs[0])
     np.testing.assert_allclose(single, feats[0], rtol=1e-4, atol=1e-4)
+
+
+def test_load_torch_weights_matches(nets):
+    from columbiaimagesearch_tpu.models.sentibank import (
+        load_torch_weights,
+        sentibank_features,
+    )
+
+    params, tnet, x = nets
+    params2 = load_torch_weights(tnet.state_dict())
+    f1 = np.asarray(sentibank_features(params, x))
+    f2 = np.asarray(sentibank_features(params2, x))
+    np.testing.assert_allclose(f1, f2, rtol=1e-5, atol=1e-5)
