@@ -81,6 +81,9 @@ def build_searcher(conf, prefix="SEARCHLOPQ_", indexer=None, storer=None):
         reranking=bool(r.get_param("reranking", False)),
         rerank_nb=int(r.get_param("rerank_nb", 1000)),
         file_input=bool(r.get_param("file_input", False)),
+        sharded=bool(r.get_param("sharded", False)),
+        exact=bool(r.get_param("exact", False)),
+        codestore_path=r.get_param("codestore_path"),
         indexer=indexer, storer=storer,
         verbose=int(r.get_param("verbose", 0)))
 

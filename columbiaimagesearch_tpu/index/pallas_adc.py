@@ -38,7 +38,8 @@ def _adc_kernel(block_cell, block_count, codes_ref, *rest):
     Per subquantizer m: a [BLK, S] one-hot (2D iota compare) contracted with
     that subquantizer's [S, NQ] table slice on the MXU, accumulated over M.
     Each block's LUT arrives as its own prefetched operand; CHUNK blocks
-    share a grid step to amortize per-step DMA/fence overhead.
+    share a grid step (CHUNK=2 keeps the unrolled one-hot temporaries within
+    the Mosaic VMEM stack budget at V=256).
 
     Perf note (measured on v5e): ~3.4 ms / query at NQ=8 over 1.16M padded
     rows. The bound is MXU utilization — [S, NQ=8] x [BLK, S] matmuls use
