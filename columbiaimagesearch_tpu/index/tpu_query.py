@@ -25,7 +25,6 @@ import functools
 import jax
 import jax.numpy as jnp
 
-NEG_INF = -jnp.inf
 
 
 @functools.partial(

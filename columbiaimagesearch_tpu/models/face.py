@@ -15,7 +15,6 @@ This module provides the same contract as a batched Flax model:
   storage convention (featsio.py:24-39).
 """
 
-import functools
 
 import flax.linen as nn
 import jax

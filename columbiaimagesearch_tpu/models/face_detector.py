@@ -20,7 +20,6 @@ Output contract matches the reference: list of dicts with ``left``, ``top``,
 ``right``, ``bottom``, ``score``.
 """
 
-import functools
 
 import jax
 import jax.numpy as jnp

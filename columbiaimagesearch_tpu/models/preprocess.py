@@ -12,7 +12,6 @@ mean subtraction — is one fused jitted op feeding the conv stack, so batches
 cross PCIe once as uint8.
 """
 
-import functools
 
 import jax
 import jax.numpy as jnp

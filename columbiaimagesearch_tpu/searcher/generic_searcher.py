@@ -10,7 +10,6 @@ Configuration is typed constructor arguments instead of the reference's
 prefix-JSON ConfReader tree; ``from_conf`` adapts a flat conf dict.
 """
 
-import time
 
 from columbiaimagesearch_tpu.searcher.output_mapping import DictOutput
 
