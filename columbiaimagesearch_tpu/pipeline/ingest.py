@@ -39,7 +39,13 @@ class GenericPusher:
 
 
 class MemoryBus:
-    """A named in-process topic store with persistent consumer offsets."""
+    """A named topic store with per-group consumer offsets.
+
+    With ``journal_path`` both the topics and the committed offsets persist
+    to a JSON file, so a restarted process resumes exactly where each
+    consumer group left off (the role of Kafka's broker log + committed
+    offsets / Kinesis's stream + sequence-number journal).
+    """
 
     def __init__(self, journal_path=None):
         self.topics = {}
@@ -48,11 +54,19 @@ class MemoryBus:
         self.offsets = {}
         if journal_path and os.path.exists(journal_path):
             with open(journal_path) as f:
-                self.offsets = json.load(f)
+                state = json.load(f)
+            self.offsets = state.get("offsets", {})
+            self.topics = state.get("topics", {})
+
+    def _persist(self):
+        if self.journal_path:
+            with open(self.journal_path, "w") as f:
+                json.dump({"offsets": self.offsets, "topics": self.topics}, f)
 
     def publish(self, topic, msg):
         with self.lock:
             self.topics.setdefault(topic, []).append(msg)
+            self._persist()
 
     def consume(self, topic, group):
         """Yield messages after the group's committed offset."""
@@ -65,9 +79,7 @@ class MemoryBus:
                     return
                 msg = msgs[pos]
                 self.offsets[key] = pos + 1
-                if self.journal_path:
-                    with open(self.journal_path, "w") as f:
-                        json.dump(self.offsets, f)
+                self._persist()
             yield msg
 
 

@@ -1,0 +1,92 @@
+"""Smaller parity behaviors: output modes, row guards, journal resume."""
+
+import json
+
+import numpy as np
+
+from columbiaimagesearch_tpu.pipeline.ingest import (
+    MemoryBus,
+    MemoryBusIngester,
+    MemoryBusPusher,
+)
+from columbiaimagesearch_tpu.searcher.output_mapping import DictOutput
+from columbiaimagesearch_tpu.store.kvindexer import MAX_ROW_SIZE, KVIndexer
+from columbiaimagesearch_tpu.utils.xvecs import load_xvecs, save_xvecs
+
+
+def test_dict_output_snake_case_mode():
+    do = DictOutput(mode="old")
+    assert do.map["query_sha1"] == "query_sha1"
+    assert do.map["all_similar_images"] == "all_similar_images"
+    out = do.format_output([("SHA", None)], [[[("SHA2",)]]], [], [[[0.5]]])
+    assert out["number_images"] == 1
+    assert out["all_similar_images"][0]["similar_images"]["distances"] == [0.5]
+
+
+def test_dict_output_face_mode():
+    do = DictOutput()
+    dets = [("SHA", [{"left": 1, "top": 2, "right": 3, "bottom": 4,
+                      "score": 0.9}], "http://u", "JPEG", 10, 10)]
+    sim_images = [[[("S2", {"info:s3_url": b"http://x "})]]]
+    sim_dets = [[["S2_5_6_7_8"]]]
+    sim_score = [[[0.25]]]
+    out = do.format_output(dets, sim_images, sim_dets, sim_score,
+                           input_type="face")
+    entry = out["AllSimilarFaces"][0]
+    block = entry["SimilarFaces"]
+    assert block["Faces"][0] == {"left": 5, "top": 6, "right": 7, "bottom": 8}
+    assert block["CachedImageURLs"] == ["http://x"]
+    assert block["Distances"] == [0.25]
+    assert out["NumberFaces"] == 1
+
+
+def test_kvindexer_row_size_guard_drops_buffer():
+    kv = KVIndexer(path=":memory:")
+    big = "x" * (MAX_ROW_SIZE + 1)
+    kv.push_dict_rows(
+        {"R1": {kv.get_col_imgbuff(): big, "info:s3_url": "http://a"}},
+        kv.table_sha1infos_name)
+    rows = kv.get_rows_by_batch(["R1"], kv.table_sha1infos_name)
+    cols = rows[0][1]
+    assert kv.get_col_imgbuff() not in cols  # oversized buffer dropped
+    assert cols["info:s3_url"] == b"http://a"
+
+
+def test_kvindexer_scan_pagination():
+    kv = KVIndexer(path=":memory:")
+    kv.push_dict_rows({f"row{i:03d}": {"info:a": str(i)} for i in range(25)},
+                      "t")
+    page1 = kv.scan_from_row("t", maxrows=10)
+    assert len(page1) == 10 and page1[0][0] == "row000"
+    page2 = kv.scan_from_row("t", row_start=page1[-1][0] + "~", maxrows=10)
+    assert len(page2) == 10 and page2[0][0] == "row010"
+
+
+def test_memory_bus_journal_resume(tmp_path):
+    journal = str(tmp_path / "offsets.json")
+    bus = MemoryBus(journal_path=journal)
+    p = MemoryBusPusher(bus, "t")
+    for i in range(5):
+        p.send({"i": i})
+    got = [m["i"] for m in MemoryBusIngester(bus, "t", "g").get_msg_json()]
+    assert got == [0, 1, 2, 3, 4]
+    # A new bus over the same journal resumes past consumed offsets
+    # (the Kinesis sequence-number journal semantics).
+    bus2 = MemoryBus(journal_path=journal)
+    for i in range(5, 8):
+        bus2.publish("t", {"i": i})
+    got2 = [m["i"] for m in MemoryBusIngester(bus2, "t", "g").get_msg_json()]
+    assert got2 == [5, 6, 7]
+    assert json.load(open(journal))["offsets"]["t:g"] == 8
+
+
+def test_xvecs_roundtrip(tmp_path):
+    rng = np.random.RandomState(0)
+    X = rng.randn(10, 16).astype(np.float32)
+    path = str(tmp_path / "a.fvecs")
+    save_xvecs(X, path, "f")
+    Y = load_xvecs(path, "f")
+    np.testing.assert_allclose(X, Y, rtol=1e-6)
+    save_xvecs(np.arange(12).reshape(3, 4), str(tmp_path / "b.ivecs"), "i")
+    Z = load_xvecs(str(tmp_path / "b.ivecs"), "i")
+    np.testing.assert_array_equal(Z, np.arange(12).reshape(3, 4))
