@@ -90,6 +90,7 @@ class ShardedLOPQIndex:
         self.nb_indexed = 0
         self._ids = None          # [n_dev, per] host object array
         self._dev = None
+        self._qfns = {}
 
     # ------------------------------------------------------------- building
 
@@ -150,6 +151,12 @@ class ShardedLOPQIndex:
     # -------------------------------------------------------------- queries
 
     def _query_fn(self, V, B, Q, K):
+        # Cache compiled fan-out functions per static config — building a
+        # fresh shard_map closure per call would miss jax's jit cache.
+        key = (V, B, Q, K)
+        cached = self._qfns.get(key)
+        if cached is not None:
+            return cached
         mesh = self.mesh
 
         def shard_query(x, Cs, Rs, mus, subs, codes, cell_start, quota):
@@ -168,12 +175,14 @@ class ShardedLOPQIndex:
                     jax.lax.psum(total, SHARD_AXIS)[None],
                     jax.lax.psum(ncells, SHARD_AXIS)[None])
 
-        return jax.jit(jax.shard_map(
+        fn = jax.jit(jax.shard_map(
             shard_query,
             mesh=mesh,
             in_specs=(P(), P(), P(), P(), P(), P(SHARD_AXIS), P(SHARD_AXIS), P()),
             out_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS)),
         ))
+        self._qfns[key] = fn
+        return fn
 
     def search(self, x, quota=10, limit=None):
         """Fan the query out to all shards; returns ([(id, dist)], cells_visited)."""
