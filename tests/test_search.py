@@ -117,3 +117,18 @@ def test_trained_model_recall():
     assert recall[2] >= 0.95  # recall@100 with quota 100
     assert recall[1] >= 0.8
     assert recall[0] >= 0.5
+
+
+def test_tpu_searcher_batched_matches_single(setup):
+    model, _, X, queries = setup
+    ids = [f"b_{i}" for i in range(len(X))]
+    s = LOPQSearcherTPU(model)
+    s.add_data(X, ids=ids)
+    batch = s.search_batch(queries[:4], quota=200, limit=10, with_dists=True)
+    assert len(batch) == 4
+    for q, (res_b, vis_b) in zip(queries[:4], batch):
+        res_s, vis_s = s.search(q, quota=200, limit=10, with_dists=True)
+        assert [r.id for r in res_b] == [r.id for r in res_s]
+        np.testing.assert_allclose([r.dist for r in res_b],
+                                   [r.dist for r in res_s], rtol=1e-5)
+        assert vis_b == vis_s
