@@ -166,3 +166,22 @@ def test_proto_roundtrip(tmp_path, injected_model):
     np.testing.assert_array_equal(loaded.mus[0], model.mus[0])
     np.testing.assert_array_equal(loaded.subquantizers[1][0],
                                   model.subquantizers[1][0])
+
+
+def test_fit_reproducible_with_seed():
+    rng = np.random.RandomState(20)
+    X = rng.randn(1500, 16).astype(np.float32)
+    m1 = LOPQModel(V=4, M=4, subquantizer_clusters=16)
+    m1.fit(X, kmeans_coarse_iters=4, kmeans_local_iters=4, n_init=2,
+           random_state=7)
+    m2 = LOPQModel(V=4, M=4, subquantizer_clusters=16)
+    m2.fit(X, kmeans_coarse_iters=4, kmeans_local_iters=4, n_init=2,
+           random_state=7)
+    np.testing.assert_array_equal(m1.Cs[0], m2.Cs[0])
+    np.testing.assert_array_equal(m1.Rs[1], m2.Rs[1])
+    np.testing.assert_array_equal(m1.subquantizers[0][0],
+                                  m2.subquantizers[0][0])
+    c1, f1 = m1.predict_batch(X[:20])
+    c2, f2 = m2.predict_batch(X[:20])
+    np.testing.assert_array_equal(c1, c2)
+    np.testing.assert_array_equal(f1, f2)
