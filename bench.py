@@ -67,7 +67,7 @@ def bench_extraction(args, batch=512, reps=10):
     # below are true device execution.
     _ = np.asarray(out[0, 0])
     rates = []
-    for _ in range(3):
+    for loop in range(4):  # first loop is discarded (device warm-up)
         shift = jnp.bfloat16(0)
         s = time.perf_counter()
         for _ in range(reps):
@@ -76,7 +76,8 @@ def bench_extraction(args, batch=512, reps=10):
         # The scalar pull depends on every rep through the shift chain.
         _ = float(np.asarray(out[0, 0]))
         dt = (time.perf_counter() - s) / reps
-        rates.append(batch / dt)
+        if loop > 0:
+            rates.append(batch / dt)
         log(f"extraction: {dt*1e3:.1f} ms/batch of {batch} "
             f"-> {batch/dt:.0f} img/s")
     rate = float(np.median(rates))

@@ -185,3 +185,33 @@ def test_image_downloader_extract_urls():
     emitted = dl.run_once()
     assert emitted == 0
     assert dl.stats.failed == 2
+
+
+def test_processor_claim_prevents_double_processing(pipeline_env):
+    """A second processor must not re-claim fresh 'started' updates, but a
+    stale claim (older than time_elapsed_failed) is re-claimable
+    (reference: extraction_processor.py:247-293 + TIME_ELAPSED_FAILED)."""
+    import time as _time
+
+    from columbiaimagesearch_tpu.pipeline.processor import ExtractionProcessor
+
+    kv, _, processor, _, _, _, _, _ = pipeline_env
+    uid = "index_update_sentibank_feat_full_image_2099-01-01_000"
+    kv.push_dict_rows(
+        {uid: {kv.get_col_listsha1s(): "", kv.get_col_upcreate(): "x",
+               kv.get_col_upstart(): str(_time.time())}},
+        kv.table_updateinfos_name)
+    rows = kv.get_rows_by_batch([uid], kv.table_updateinfos_name)
+    assert not processor.is_update_claimable(rows[0][1])
+    # stale claim -> reclaimable
+    kv.push_dict_rows(
+        {uid: {kv.get_col_upstart(): str(_time.time() - 10_000)}},
+        kv.table_updateinfos_name)
+    rows = kv.get_rows_by_batch([uid], kv.table_updateinfos_name)
+    assert processor.is_update_claimable(rows[0][1])
+    # processed -> never claimable
+    kv.push_dict_rows({uid: {kv.get_col_upproc(): "1"}},
+                      kv.table_updateinfos_name)
+    rows = kv.get_rows_by_batch([uid], kv.table_updateinfos_name)
+    assert not processor.is_update_claimable(rows[0][1])
+    kv.delete_row(kv.table_updateinfos_name, uid)
