@@ -90,3 +90,15 @@ def test_xvecs_roundtrip(tmp_path):
     save_xvecs(np.arange(12).reshape(3, 4), str(tmp_path / "b.ivecs"), "i")
     Z = load_xvecs(str(tmp_path / "b.ivecs"), "i")
     np.testing.assert_array_equal(Z, np.arange(12).reshape(3, 4))
+
+
+def test_kafka_kinesis_backends_gated():
+    import pytest as _pytest
+
+    from columbiaimagesearch_tpu.pipeline.kafka_backend import KafkaIngester
+    from columbiaimagesearch_tpu.pipeline.kinesis_backend import KinesisPusher
+
+    with _pytest.raises(ImportError, match="kafka-python"):
+        KafkaIngester("t", "localhost:9092")
+    with _pytest.raises(ImportError, match="boto3"):
+        KinesisPusher("s")
