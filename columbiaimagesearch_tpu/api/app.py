@@ -87,7 +87,7 @@ class SearchAPI:
             elif mode.startswith("view_similar_by"):
                 sub = mode[len("view_similar_by"):]
                 inner = self.process("by" + sub, query, options)[1]
-                return 200, self.view_similar(query, inner)
+                return 200, self.view_similar(query, inner, options)
             else:
                 return 400, {"error": f"unknown_mode: {mode}"}
         except Exception as inst:
@@ -174,21 +174,29 @@ class SearchAPI:
 
     # ---------------------------------------------------------------- html
 
-    def view_similar(self, query, response):
-        """Minimal HTML rendering of a search response (the role of
-        www/templates/view_similar_images.html)."""
+    def view_similar(self, query, response, options=None):
+        """HTML rendering of a search response (the role of
+        www/templates/view_similar_images.html — including the blur CSS the
+        reference applies unless no_blur, and the max_height option)."""
+        options_dict, _ = self.get_options_dict(options)
+        no_blur = bool(options_dict.get("no_blur", True))
+        max_height = int(options_dict.get("max_height", 120))
+        blur_css = ("" if no_blur else
+                    "img.sim{filter:blur(8px);-webkit-filter:blur(8px);}")
         rows = []
         m = self.searcher.do.map
         for entry in response.get(m["all_similar_images"], []):
             block = entry.get(m["similar_images"], {})
             sha1 = entry.get(m["query_sha1"], "")
             cells = "".join(
-                f"<td><img src='{u}' height='120'/><br/>{s}<br/>{d:.4f}</td>"
+                f"<td><img class='sim' src='{u}' height='{max_height}'/>"
+                f"<br/>{s}<br/>{d:.4f}</td>"
                 for s, u, d in zip(block.get(m["image_sha1s"], []),
                                    block.get(m["cached_image_urls"], []),
                                    block.get(m["distances"], [])))
             rows.append(f"<tr><th>{sha1}</th>{cells}</tr>")
-        return ("<html><body><h3>Similar images</h3><table border='1'>"
+        return (f"<html><head><style>{blur_css}</style></head>"
+                "<body><h3>Similar images</h3><table border='1'>"
                 + "".join(rows) + "</table></body></html>")
 
 
