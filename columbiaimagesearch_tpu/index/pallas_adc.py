@@ -41,7 +41,7 @@ def _adc_kernel(block_cell, block_count, codes_ref, *rest):
     share a grid step (CHUNK=2 keeps the unrolled one-hot temporaries within
     the Mosaic VMEM stack budget at V=256).
 
-    Perf note (measured on v5e): ~3.4 ms / query at NQ=8 over 1.16M padded
+    Perf note (measured on v5e): ~3.5 ms / query at NQ=8 over 1.16M padded
     rows. The bound is MXU utilization — [S, NQ=8] x [BLK, S] matmuls use
     8/128 output lanes. Larger NQ would amortize (the scan cost is nearly
     flat in NQ) but linearly grows the per-block LUT DMA; NQ=8 balances the
