@@ -10,7 +10,7 @@ capability the reference does not have.
 Index layout: codes sorted by cell id with every cell's run padded to
 BLK=128 rows, so each 128-row block belongs to exactly one cell. Per query,
 the block's [M, S] table rows are gathered once per block ([NB, M, S],
-~8 KB/block) and the kernel consumes CHUNK=8 aligned blocks per grid step.
+~8 KB/block) and the kernel consumes CHUNK aligned blocks per grid step.
 Scoring uses the iota-comparison one-hot trick: the per-row table lookup
 becomes a [BLK, M*S] x [M*S] contraction on the MXU; no in-kernel gathers
 anywhere.
@@ -188,9 +188,10 @@ class ExhaustiveADC:
     >>> ids, dists = ex.search(q, k=10)
     """
 
-    def __init__(self, model, interpret=False):
+    def __init__(self, model, interpret=False, nq=8):
         self.model = model
         self.interpret = interpret
+        self.NQ = int(nq)
         self._dev = None
         self._ids = None
 
@@ -217,8 +218,6 @@ class ExhaustiveADC:
                                for h in self.model.subquantizers]),
         }
         self.n_blocks = len(block_cell)
-
-    NQ = 8  # query batch the kernel is compiled for (pad partial batches)
 
     def search(self, x, k=10):
         """Single query convenience -> (ids, dists)."""
