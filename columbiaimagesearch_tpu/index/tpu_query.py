@@ -113,7 +113,15 @@ def lopq_query(
     lut1 = build_lut(1, i1)
 
     # --- 5. ADC distances + masked top-K -----------------------------------
-    cand_codes = codes[rows].astype(jnp.int32)        # [Q, M]
+    if codes.dtype == jnp.uint32:
+        # Packed layout ([N, M/4] uint32): 4x fewer gathered elements; bytes
+        # unpacked in-register (little-endian, matching the uint8 bitcast).
+        packed = codes[rows]                          # [Q, M/4]
+        shifts = jnp.asarray([0, 8, 16, 24], dtype=jnp.uint32)
+        bytes_ = (packed[:, :, None] >> shifts[None, None, :]) & jnp.uint32(0xFF)
+        cand_codes = bytes_.reshape(rows.shape[0], -1).astype(jnp.int32)
+    else:
+        cand_codes = codes[rows].astype(jnp.int32)    # [Q, M]
     slot0 = a_idx[b_for_j]                            # [Q] index into lut0
     slot1 = b_idx[b_for_j]
     f_idx = jnp.arange(F, dtype=jnp.int32)[None, :]   # [1, F]
