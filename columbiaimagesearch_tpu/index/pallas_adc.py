@@ -188,7 +188,12 @@ class ExhaustiveADC:
     >>> ids, dists = ex.search(q, k=10)
     """
 
-    def __init__(self, model, interpret=False, nq=8):
+    def __init__(self, model, interpret=None, nq=8):
+        """:param interpret: force Pallas interpreter mode; default (None)
+        compiles on TPU backends and interprets elsewhere (the compiled
+        kernel is TPU-only)."""
+        if interpret is None:
+            interpret = jax.default_backend() != "tpu"
         self.model = model
         self.interpret = interpret
         self.NQ = int(nq)
@@ -266,7 +271,7 @@ class ExhaustiveADCSearcher:
     ignored — every indexed item is scored.
     """
 
-    def __init__(self, model, interpret=False):
+    def __init__(self, model, interpret=None):
         self.model = model
         self.index = ExhaustiveADC(model, interpret=interpret)
         self._coarse, self._fine, self._ids2 = [], [], []

@@ -97,3 +97,24 @@ def test_exact_searcher_backend():
     ref, _ = host.search(X[3], quota=800, limit=5, with_dists=True)
     assert res[0].id == ref[0].id
     np.testing.assert_allclose(res[0].dist, ref[0].dist, rtol=1e-3)
+
+
+def test_searcher_lopq_exact_backend_on_cpu():
+    """SearcherLOPQ(exact=True) auto-selects interpreter mode off-TPU."""
+    from columbiaimagesearch_tpu.searcher.searcher_lopq import SearcherLOPQ
+    from columbiaimagesearch_tpu.store import MemoryStorer
+
+    from tests.test_store_searcher import make_indexer
+
+    rng = np.random.RandomState(9)
+    kv, feats, sha1s = make_indexer(rng, n_imgs=300)
+    searcher = SearcherLOPQ(
+        model_type="lopq", V=8, M=4, subquantizer_clusters=32,
+        nb_train=300, nb_min_train=100, train_at_init=True,
+        detector_type="full", featurizer_type="sentibank",
+        indexer=kv, storer=MemoryStorer(), exact=True)
+    assert searcher.get_nb_indexed() == 300
+    out = searcher.search_from_feats([(sha1s[3], None)], [feats[3]],
+                                     {"max_returned": 3, "reranking": False})
+    block = out["AllSimilarImages"][0]["SimilarImages"]
+    assert sha1s[3] in block["ImageSha1s"]
