@@ -22,7 +22,7 @@ from collections import namedtuple
 import jax.numpy as jnp
 import numpy as np
 
-from columbiaimagesearch_tpu.ops.kmeans import assign_clusters, fit_kmeans
+from columbiaimagesearch_tpu.ops.kmeans import assign_clusters, fit_kmeans_auto
 from columbiaimagesearch_tpu.ops.pca import train_pca
 from columbiaimagesearch_tpu.ops.rotations import (
     compute_local_rotations,
@@ -75,11 +75,11 @@ def train(
         C1, C2 = Cs
     else:
         C1 = np.asarray(
-            fit_kmeans(first_half, V, kmeans_coarse_iters, n_init,
-                       seed=_derive_seed(random_state, 0)))
+            fit_kmeans_auto(first_half, V, kmeans_coarse_iters, n_init,
+                            seed=_derive_seed(random_state, 0)))
         C2 = np.asarray(
-            fit_kmeans(second_half, V, kmeans_coarse_iters, n_init,
-                       seed=_derive_seed(random_state, 1)))
+            fit_kmeans_auto(second_half, V, kmeans_coarse_iters, n_init,
+                            seed=_derive_seed(random_state, 1)))
 
     if Rs is not None and mus is not None:
         Rs1, Rs2 = Rs
@@ -122,8 +122,9 @@ def train(
     def _train_subs(projected, salt):
         subs = []
         for i, d in enumerate(np.split(projected, M // 2, axis=1)):
-            C = fit_kmeans(d, subquantizer_clusters, kmeans_local_iters, n_init,
-                           seed=_derive_seed(random_state, salt + 10 * i))
+            C = fit_kmeans_auto(d, subquantizer_clusters, kmeans_local_iters,
+                                n_init,
+                                seed=_derive_seed(random_state, salt + 10 * i))
             subs.append(np.asarray(C))
         return subs
 

@@ -138,6 +138,85 @@ def lloyd_kmeans(X, C_init, iters: int = 10):
     return C, a[:n], float(inertia)
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def _assign_and_sums(Xc, w, C, k: int):
+    """One chunk's contribution to a Lloyd update: (sums [k,D], counts [k],
+    inertia)."""
+    c2 = jnp.sum(C * C, axis=1)
+    prod = jnp.dot(Xc, C.T, preferred_element_type=jnp.float32,
+                   precision="highest")
+    d2 = c2[None, :] - 2.0 * prod
+    a = jnp.argmin(d2, axis=1).astype(jnp.int32)
+    md = jnp.maximum(jnp.take_along_axis(d2, a[:, None], axis=1)[:, 0]
+                     + jnp.sum(Xc * Xc, axis=1), 0.0)
+    sums = jax.ops.segment_sum(Xc * w[:, None], a, num_segments=k)
+    counts = jax.ops.segment_sum(w, a, num_segments=k)
+    return sums, counts, jnp.sum(md * w)
+
+
+def fit_kmeans_streaming(X, k: int, iters: int = 10, n_init: int = 1,
+                         seed: int | None = None, device_chunk: int = 262144,
+                         init_subsample: int = 500_000):
+    """Exact Lloyd k-means over host-resident data too large for HBM.
+
+    Identical math to :func:`fit_kmeans` (full-batch updates accumulated
+    chunk-by-chunk on device), so unlike the reference's MiniBatchKMeans this
+    streaming path is still *exact* Lloyd — only the device working set is
+    bounded (one [device_chunk, D] slab + [k, D] accumulators). kmeans++
+    seeding runs on a subsample.
+
+    :param X: [N, D] numpy array (stays on host)
+    :returns: [k, D] float32 centroids (jax array)
+    """
+    X = np.asarray(X, dtype=np.float32)
+    N, D = X.shape
+    if seed is None:
+        seed = np.random.randint(0, 2**31 - 1)
+    key = jax.random.PRNGKey(seed)
+
+    sub = X[: min(init_subsample, N)]
+    subp, nsub = pad_rows(jnp.asarray(sub), 256)
+    wsub = jnp.zeros(subp.shape[0], dtype=jnp.float32).at[:nsub].set(1.0)
+
+    best_C, best_inertia = None, np.inf
+    for _ in range(max(1, n_init)):
+        key, k1 = jax.random.split(key)
+        C = kmeans_plusplus_init(k1, subp, wsub, k)
+        inertia = np.inf
+        for _ in range(iters):
+            sums = jnp.zeros((k, D), dtype=jnp.float32)
+            counts = jnp.zeros((k,), dtype=jnp.float32)
+            total_md = 0.0
+            for start in range(0, N, device_chunk):
+                chunk = X[start:start + device_chunk]
+                cp, nc = pad_rows(jnp.asarray(chunk), 256)
+                w = jnp.zeros(cp.shape[0], dtype=jnp.float32).at[:nc].set(1.0)
+                s, c, md = _assign_and_sums(cp, w, C, k)
+                sums = sums + s
+                counts = counts + c
+                total_md += float(md)
+            C = jnp.where(counts[:, None] > 0,
+                          sums / jnp.maximum(counts, 1.0)[:, None], C)
+            inertia = total_md
+        if inertia < best_inertia:
+            best_C, best_inertia = C, inertia
+    return best_C
+
+
+# Above roughly this many elements the all-on-device Lloyd would not fit
+# HBM alongside its distance buffers; stream from the host instead.
+STREAMING_THRESHOLD_ELEMENTS = 1 << 29  # ~2 GB float32
+
+
+def fit_kmeans_auto(X, k: int, iters: int = 10, n_init: int = 1,
+                    seed: int | None = None):
+    """Dispatch between on-device and streaming exact Lloyd by data size."""
+    X = np.asarray(X, dtype=np.float32)
+    if X.size > STREAMING_THRESHOLD_ELEMENTS:
+        return fit_kmeans_streaming(X, k, iters, n_init, seed)
+    return fit_kmeans(X, k, iters, n_init, seed)
+
+
 def fit_kmeans(X, k: int, iters: int = 10, n_init: int = 1, seed: int | None = None):
     """Train a k-means codebook: kmeans++ seeding + Lloyd, best of n_init runs.
 

@@ -76,13 +76,24 @@ def _accumulate_masked(R, w, assign, V: int):
     return A, mu, cnt
 
 
+# Above this many elements, stream host-resident data through the device in
+# chunks instead of materializing it in HBM (matches ops.kmeans threshold).
+STREAMING_THRESHOLD_ELEMENTS = 1 << 29
+
+
 def accumulate_covariance_estimators(data, C):
     """Single pass: per-cluster residual outer-product sums.
 
     Same contract as the reference (lopq/lopq/model.py:109-157):
     returns (A [V,D,D] outer-product sums, mu [V,D] residual sums,
     count [V], assignments [N] int32, residuals [N,D]).
+
+    Data larger than the HBM budget streams from the host chunk-by-chunk;
+    only the [V,D,D] accumulators live on device across chunks.
     """
+    if np.asarray(data).size > STREAMING_THRESHOLD_ELEMENTS:
+        return _accumulate_streaming(np.asarray(data, dtype=np.float32),
+                                     np.asarray(C, dtype=np.float32))
     data = jnp.asarray(data, dtype=jnp.float32)
     C = jnp.asarray(C, dtype=jnp.float32)
     V, D = C.shape
@@ -105,6 +116,41 @@ def accumulate_covariance_estimators(data, C):
         A, mu, cnt = _accumulate_segment(Rp, wp, ap, V, oc)
 
     return A, mu, cnt, assign[:n], residuals[:n]
+
+
+def _accumulate_streaming(data, C, device_chunk: int = 131072):
+    """Host-chunked accumulation for beyond-HBM training sets."""
+    from columbiaimagesearch_tpu.ops.kmeans import assign_clusters
+
+    V, D = C.shape
+    N = len(data)
+    Cd = jnp.asarray(C)
+    A = jnp.zeros((V, D, D), dtype=jnp.float32)
+    mu = jnp.zeros((V, D), dtype=jnp.float32)
+    cnt = jnp.zeros((V,), dtype=jnp.float32)
+    assignments = np.zeros(N, dtype=np.int32)
+    residuals = np.zeros((N, D), dtype=np.float32)
+    oc = max(256, min(device_chunk, (1 << 25) // max(D * D, 1)))
+    for start in range(0, N, device_chunk):
+        chunk = data[start:start + device_chunk]
+        a, _ = assign_clusters(chunk, Cd)
+        a = jnp.asarray(a, dtype=jnp.int32)
+        r = jnp.asarray(chunk) - Cd[a]
+        n = len(chunk)
+        w = jnp.ones(n, dtype=jnp.float32)
+        if V <= _MASKED_MATMUL_MAX_V:
+            dA, dmu, dcnt = _accumulate_masked(r, w, a, V)
+        else:
+            rp, _ = pad_rows(r, oc)
+            wp, _ = pad_rows(w, oc)
+            ap, _ = pad_rows(a, oc)
+            dA, dmu, dcnt = _accumulate_segment(rp, wp, ap, V, oc)
+        A = A + dA
+        mu = mu + dmu
+        cnt = cnt + dcnt
+        assignments[start:start + n] = np.asarray(a)
+        residuals[start:start + n] = np.asarray(r)
+    return A, mu, cnt, assignments, residuals
 
 
 def compute_rotations_from_accumulators(A, mu, count, num_buckets: int):
@@ -185,7 +231,18 @@ def project_residuals_to_local(residuals, assignments, Rs, mus):
     """Batched local-frame projection: ``out[n] = R[a[n]] @ (r[n] - mu[a[n]])``.
 
     Reference semantics: lopq/lopq/model.py:209-234 (per-point Python loop).
+    Beyond-HBM inputs stream from the host in slabs.
     """
+    res_np = np.asarray(residuals)
+    if res_np.size > STREAMING_THRESHOLD_ELEMENTS:
+        out = np.zeros_like(res_np, dtype=np.float32)
+        slab = 131072
+        a_np = np.asarray(assignments)
+        for start in range(0, len(res_np), slab):
+            out[start:start + slab] = np.asarray(project_residuals_to_local(
+                res_np[start:start + slab], a_np[start:start + slab],
+                Rs, mus))
+        return out
     residuals = jnp.asarray(residuals, dtype=jnp.float32)
     assignments = jnp.asarray(assignments, dtype=jnp.int32)
     Rs = jnp.asarray(Rs, dtype=jnp.float32)

@@ -87,3 +87,28 @@ def test_train_pca_column_permutation_balances_halves():
     v1, v2 = var[:4].prod(), var[4:].prod()
     # Balanced allocation: log-products of the two halves should be close.
     assert abs(np.log(v1) - np.log(v2)) < np.log(np.max(var) / np.min(var)) + 1e-6
+
+
+def test_streaming_lloyd_matches_on_device():
+    from columbiaimagesearch_tpu.ops.kmeans import (
+        fit_kmeans,
+        fit_kmeans_streaming,
+        kmeans_plusplus_init,
+    )
+
+    rng = np.random.RandomState(6)
+    X = rng.randn(3000, 24).astype(np.float32)
+    # Same seed -> identical kmeans++ init on the (full-coverage) subsample,
+    # and streaming accumulates full-batch updates -> identical Lloyd math.
+    C_full = np.asarray(fit_kmeans(X, 8, iters=6, n_init=1, seed=3))
+    C_stream = np.asarray(fit_kmeans_streaming(
+        X, 8, iters=6, n_init=1, seed=3, device_chunk=700,
+        init_subsample=3000))
+    np.testing.assert_allclose(np.sort(C_full, axis=0),
+                               np.sort(C_stream, axis=0), rtol=1e-3,
+                               atol=1e-3)
+    # And quality is equivalent.
+    _, d_f = assign_clusters(X, C_full)
+    _, d_s = assign_clusters(X, C_stream)
+    assert abs(float(np.sum(np.asarray(d_f))) - float(np.sum(np.asarray(d_s)))) \
+        < 0.02 * float(np.sum(np.asarray(d_f)))

@@ -185,3 +185,23 @@ def test_fit_reproducible_with_seed():
     c2, f2 = m2.predict_batch(X[:20])
     np.testing.assert_array_equal(c1, c2)
     np.testing.assert_array_equal(f1, f2)
+
+
+def test_streaming_rotation_accumulators_match():
+    from columbiaimagesearch_tpu.ops.rotations import (
+        _accumulate_streaming,
+        accumulate_covariance_estimators,
+    )
+
+    rng = np.random.RandomState(30)
+    X = rng.randn(2000, 12).astype(np.float32)
+    C = rng.randn(5, 12).astype(np.float32)
+    A1, mu1, c1, a1, r1 = accumulate_covariance_estimators(X, C)
+    A2, mu2, c2, a2, r2 = _accumulate_streaming(X, C, device_chunk=300)
+    np.testing.assert_allclose(np.asarray(A1), np.asarray(A2), rtol=1e-3,
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(mu1), np.asarray(mu2), rtol=1e-3,
+                               atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), atol=1e-5)
