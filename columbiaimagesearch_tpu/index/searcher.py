@@ -248,6 +248,11 @@ class LOPQSearcherTPU(LOPQSearcherBase):
         self.nb_indexed = len(self._cells)
 
         n_cells = self.model.V * self.model.V
+        if self.model.V > 16384:
+            raise ValueError(
+                f"V={self.model.V}: the dense [V^2+1] CSR offsets table "
+                "would exceed device memory; use the sharded index or a "
+                "smaller coarse codebook")
         # CSR offsets: cell_start[c] .. cell_start[c+1] rows belong to cell c.
         counts = np.bincount(self._cells, minlength=n_cells)
         cell_start = np.zeros(n_cells + 1, dtype=np.int32)
