@@ -260,14 +260,8 @@ class LOPQSearcherTPU(LOPQSearcherBase):
 
         import jax.numpy as jnp
 
-        fine_dev = self._fine
-        if self._fine.shape[1] % 4 == 0:
-            # Pack 4 codes per uint32 (little-endian): 4x fewer gathered
-            # elements in the query kernel, which unpacks in-register.
-            fine_dev = np.ascontiguousarray(self._fine).view(
-                "<u4").reshape(len(self._fine), -1)
         self._dev = {
-            "codes": jnp.asarray(fine_dev),
+            "codes": jnp.asarray(self._fine),
             "cell_start": jnp.asarray(cell_start),
             "Cs": jnp.stack([jnp.asarray(C) for C in self.model.Cs]),
             "Rs": jnp.stack([jnp.asarray(R) for R in self.model.Rs]),
