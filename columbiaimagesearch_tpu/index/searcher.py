@@ -19,7 +19,11 @@ import numpy as np
 from columbiaimagesearch_tpu.index.model import LOPQCode, LOPQModelPCA
 from columbiaimagesearch_tpu.index.multisequence import multisequence
 from columbiaimagesearch_tpu.utils.chunking import round_up
-from columbiaimagesearch_tpu.utils.codes import code_dtype_for
+from columbiaimagesearch_tpu.utils.codes import (
+    code_dtype_for,
+    dedup_first_mask,
+    ids_to_object_array,
+)
 
 Result = namedtuple("Result", ["id", "code"])
 ResultDist = namedtuple("Result", ["id", "code", "dist"])
@@ -39,9 +43,7 @@ def _codes_to_arrays(codes, ids, V, S):
     if ids is None:
         ids_arr = np.arange(n, dtype=object)
     else:
-        ids_arr = np.empty(n, dtype=object)
-        for i, x in zip(range(n), ids):
-            ids_arr[i] = x
+        ids_arr = ids_to_object_array(ids, n)
     return coarse, fine, ids_arr
 
 
@@ -230,16 +232,11 @@ class LOPQSearcherTPU(LOPQSearcherBase):
                else np.zeros(0, dtype=object))
 
         # Dedup (cell, id) keeping first insertion (reference add_codes
-        # duplicate handling, lopq/lopq/search.py:342-364).
-        seen = {}
-        keep = np.ones(len(cells), dtype=bool)
-        for i in range(len(cells)):
-            key = (int(cells[i]), ids[i])
-            if key in seen:
-                keep[i] = False
-            else:
-                seen[key] = i
-        cells, fine, ids = cells[keep], fine[keep], ids[keep]
+        # duplicate handling, lopq/lopq/search.py:342-364). Vectorized:
+        # O(N) hash interning + one unique pass — NOT a Python row loop.
+        keep = dedup_first_mask(cells, ids)
+        if not keep.all():
+            cells, fine, ids = cells[keep], fine[keep], ids[keep]
 
         order = np.argsort(cells, kind="stable")
         self._cells = cells[order]

@@ -108,9 +108,9 @@ class ShardedLOPQIndex:
         if ids is None:
             ids_arr = np.arange(n, dtype=object)
         else:
-            ids_arr = np.empty(n, dtype=object)
-            for i, x in zip(range(n), ids):
-                ids_arr[i] = x
+            from columbiaimagesearch_tpu.utils.codes import ids_to_object_array
+
+            ids_arr = ids_to_object_array(ids, n)
 
         order = np.argsort(cells, kind="stable")
         cells, fine, ids_arr = cells[order], fine[order], ids_arr[order]
@@ -231,17 +231,32 @@ class ShardedLOPQSearcher:
         self.model = model
         self.index = ShardedLOPQIndex(model, mesh=mesh,
                                       probe_width=probe_width)
-        self._coarse = []
-        self._fine = []
-        self._ids = []
+        self._parts = []  # list of (coarse [n,2] int32, fine [n,M], ids obj)
         self._dirty = False
         self.nb_indexed = 0
 
+    def add_codes(self, codes, ids=None):
+        """Array-path insertion: codes is (coarse [n,2], fine [n,M])."""
+        from columbiaimagesearch_tpu.utils.codes import ids_to_object_array
+
+        coarse, fine = codes
+        coarse = np.asarray(coarse, dtype=np.int32)
+        fine = np.asarray(fine, dtype=np.int32)
+        n = len(coarse)
+        ids_arr = (np.arange(n, dtype=object) if ids is None
+                   else ids_to_object_array(ids, n))
+        self._parts.append((coarse, fine, ids_arr))
+        self._dirty = True
+
     def add_codes_from_dict(self, codes_dict):
-        for sid, (coarse, fine) in codes_dict.items():
-            self._coarse.append(coarse)
-            self._fine.append(fine)
-            self._ids.append(sid)
+        n = len(codes_dict)
+        if n == 0:
+            return
+        ids = np.empty(n, dtype=object)
+        ids[:] = list(codes_dict.keys())
+        coarse = np.asarray([codes_dict[i][0] for i in ids], dtype=np.int32)
+        fine = np.asarray([codes_dict[i][1] for i in ids], dtype=np.int32)
+        self._parts.append((coarse, fine, ids))
         self._dirty = True
 
     def get_nb_indexed(self):
@@ -249,20 +264,20 @@ class ShardedLOPQSearcher:
         return self.nb_indexed
 
     def _maybe_build(self):
-        if self._dirty and self._ids:
-            # Dedup (cell, id) keeping first insertion.
-            seen = set()
-            coarse, fine, ids = [], [], []
-            for c, f, i in zip(self._coarse, self._fine, self._ids):
-                key = (tuple(int(x) for x in c), i)
-                if key in seen:
-                    continue
-                seen.add(key)
-                coarse.append(c)
-                fine.append(f)
-                ids.append(i)
-            self.index.build(np.asarray(coarse, dtype=np.int32),
-                             np.asarray(fine, dtype=np.int32), ids)
+        if self._dirty and self._parts:
+            from columbiaimagesearch_tpu.utils.codes import dedup_first_mask
+
+            coarse = np.concatenate([p[0] for p in self._parts])
+            fine = np.concatenate([p[1] for p in self._parts])
+            ids = np.concatenate([p[2] for p in self._parts])
+            self._parts = [(coarse, fine, ids)]
+            # Dedup (cell, id) keeping first insertion — vectorized.
+            cells = (coarse[:, 0].astype(np.int64) * self.model.V
+                     + coarse[:, 1].astype(np.int64))
+            keep = dedup_first_mask(cells, ids)
+            if not keep.all():
+                coarse, fine, ids = coarse[keep], fine[keep], ids[keep]
+            self.index.build(coarse, fine, ids)
             self.nb_indexed = self.index.nb_indexed
             self._dirty = False
 

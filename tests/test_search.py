@@ -132,3 +132,31 @@ def test_tpu_searcher_batched_matches_single(setup):
         np.testing.assert_allclose([r.dist for r in res_b],
                                    [r.dist for r in res_s], rtol=1e-5)
         assert vis_b == vis_s
+
+
+def test_dedup_first_mask_matches_reference_semantics():
+    """Vectorized dedup == per-row first-insertion dedup (search.py:342-364)."""
+    from columbiaimagesearch_tpu.utils.codes import dedup_first_mask
+
+    rs = np.random.RandomState(7)
+    n = 5000
+    cells = rs.randint(0, 64, n).astype(np.int64)
+    ids = np.empty(n, dtype=object)
+    # mixed id types + heavy duplication
+    ids[:] = [("s%d" % v) if v % 3 else v for v in rs.randint(0, n // 4, n)]
+    keep = dedup_first_mask(cells, ids)
+    seen = set()
+    for i in range(n):
+        key = (int(cells[i]), ids[i])
+        expected = key not in seen
+        seen.add(key)
+        assert keep[i] == expected, i
+    assert keep.sum() == len(seen)
+
+
+def test_dedup_first_mask_empty_and_unique():
+    from columbiaimagesearch_tpu.utils.codes import dedup_first_mask
+
+    assert dedup_first_mask(np.zeros(0, np.int64), []).shape == (0,)
+    m = dedup_first_mask(np.array([1, 2, 3]), ["a", "b", "a"])
+    assert m.all()  # same id in different cells is NOT a duplicate
