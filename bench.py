@@ -90,38 +90,20 @@ def bench_extraction(args, batch=512, reps=10):
     }))
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--index-size", type=int, default=10 * (1 << 20))
-    ap.add_argument("--train-size", type=int, default=100_000)
-    ap.add_argument("--dim", type=int, default=256)
-    ap.add_argument("--V", type=int, default=4096)
-    ap.add_argument("--M", type=int, default=8)
-    ap.add_argument("--probe-width", type=int, default=64)
-    ap.add_argument("--quota", type=int, default=10_000)
-    ap.add_argument("--limit", type=int, default=100)
-    ap.add_argument("--batches", type=int, default=5)
-    ap.add_argument("--queries-per-batch", type=int, default=20)
-    ap.add_argument("--mode", choices=["query", "extraction"],
-                    default="query",
-                    help="query: p50 ADC latency (headline); extraction: "
-                         "Sentibank images/sec/chip")
-    args = ap.parse_args()
+def setup_index(args, t0):
+    """Synthetic data -> trained LOPQ model -> device-encoded codes.
 
-    if args.mode == "extraction":
-        return bench_extraction(args)
-
+    Shared by the query (raw kernel) and searcher (orchestrated class)
+    modes so both rank the exact same index.
+    """
     import jax
     import jax.numpy as jnp
 
-    from columbiaimagesearch_tpu.index.csr import build_csr_device
     from columbiaimagesearch_tpu.index.model import LOPQModel
     from columbiaimagesearch_tpu.index.tpu_encode import lopq_encode
-    from columbiaimagesearch_tpu.index.tpu_query import lopq_query
     from columbiaimagesearch_tpu.utils.chunking import round_up
 
     log(f"devices: {jax.devices()}")
-    t0 = time.time()
 
     # ---- synthetic data: gaussian mixture, generated on device ------------
     n_comp = 256
@@ -173,7 +155,123 @@ def main():
             f"/{args.index_size}")
     coarse = jnp.concatenate(coarse_parts)[:args.index_size]
     fine = jnp.concatenate(fine_parts)[:args.index_size]
-    del coarse_parts, fine_parts
+    return model, (Cs, Rs, mus, subs), coarse, fine, make, key
+
+
+def bench_searcher(args):
+    """End-to-end p50 through the production SearcherLOPQ/LOPQSearcherTPU
+    class: add_codes -> repack (vectorized dedup + CSR upload) ->
+    search_from_feats waves (batched device query + rank/format), plus an
+    incremental-append-then-search timing. This is the orchestrated-path
+    counterpart of the raw-kernel query mode."""
+    import jax
+
+    from columbiaimagesearch_tpu.searcher.searcher_lopq import SearcherLOPQ
+
+    t0 = time.time()
+    model, _, coarse_dev, fine_dev, make, key = setup_index(args, t0)
+    coarse = np.asarray(coarse_dev)
+    fine = np.asarray(fine_dev)
+    del coarse_dev, fine_dev
+    log(f"[{time.time()-t0:.1f}s] codes on host; building SearcherLOPQ")
+
+    class _NoFeaturizer:  # queries arrive as features; bypass model build
+        pass
+
+    searcher = SearcherLOPQ(
+        model=model, V=args.V, M=args.M, model_type="lopq",
+        probe_width=args.probe_width, skip_get_sim_info=True,
+        detector_type="full", featurizer=_NoFeaturizer(),
+        sim_limit=args.limit)
+    searcher.searcher.add_codes((coarse, fine))
+    s = time.perf_counter()
+    nb = searcher.get_nb_indexed()  # forces the repack + device upload
+    pack_s = time.perf_counter() - s
+    log(f"[{time.time()-t0:.1f}s] packed {nb} codes in {pack_s:.2f}s")
+
+    nq = args.queries_per_batch
+    opts = {"max_returned": args.limit}
+
+    def one_wave(kq):
+        feats = list(np.asarray(make(nq, kq)))
+        dets = [(f"q{i}", None) for i in range(nq)]
+        s = time.perf_counter()
+        out = searcher.search_from_feats(dets, feats, opts)
+        dt = time.perf_counter() - s
+        return out, dt
+
+    key, kq = jax.random.split(key)
+    log(f"[{time.time()-t0:.1f}s] compiling batched searcher query")
+    out, _ = one_wave(kq)  # warm-up/compile
+    n_res = len(out["AllSimilarImages"][0]["SimilarImages"]["ImageSha1s"])
+    assert n_res > 0, "searcher returned no results"
+
+    per_wave = []
+    for i in range(args.batches):
+        key, kq = jax.random.split(key)
+        _, dt = one_wave(kq)
+        per_wave.append(dt / nq * 1000.0)
+        log(f"[{time.time()-t0:.1f}s] wave {i}: {per_wave[-1]:.3f} ms/query "
+            f"e2e through SearcherLOPQ")
+    p50 = float(np.median(per_wave))
+
+    # Incremental append -> repack -> search (the load_codes refresh cost).
+    key, ka = jax.random.split(key)
+    extra = np.asarray(make(10240, ka))
+    co2, fi2 = searcher.model.predict_batch(extra)
+    s = time.perf_counter()
+    searcher.searcher.add_codes((co2, fi2),
+                                ids=[f"new_{i}" for i in range(len(co2))])
+    _, dt_inc = one_wave(key)
+    inc_s = time.perf_counter() - s
+    log(f"[{time.time()-t0:.1f}s] incremental append 10k + repack + "
+        f"wave: {inc_s:.2f}s (search wave itself {dt_inc:.2f}s)")
+
+    baseline_ms = 10.0
+    print(json.dumps({
+        "metric": f"p50_searcher_e2e_latency_{args.index_size >> 20}Mi_index",
+        "value": round(p50, 3),
+        "unit": "ms",
+        "vs_baseline": round(baseline_ms / p50, 2),
+        "extra": {"pack_s": round(pack_s, 2),
+                  "incremental_refresh_s": round(inc_s, 2),
+                  "nb_indexed": int(searcher.get_nb_indexed())},
+    }))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index-size", type=int, default=10 * (1 << 20))
+    ap.add_argument("--train-size", type=int, default=100_000)
+    ap.add_argument("--dim", type=int, default=256)
+    ap.add_argument("--V", type=int, default=4096)
+    ap.add_argument("--M", type=int, default=8)
+    ap.add_argument("--probe-width", type=int, default=64)
+    ap.add_argument("--quota", type=int, default=10_000)
+    ap.add_argument("--limit", type=int, default=100)
+    ap.add_argument("--batches", type=int, default=5)
+    ap.add_argument("--queries-per-batch", type=int, default=20)
+    ap.add_argument("--mode", choices=["query", "extraction", "searcher"],
+                    default="query",
+                    help="query: p50 ADC latency (headline); extraction: "
+                         "Sentibank images/sec/chip; searcher: e2e p50 "
+                         "through the production SearcherLOPQ class")
+    args = ap.parse_args()
+
+    if args.mode == "extraction":
+        return bench_extraction(args)
+    if args.mode == "searcher":
+        return bench_searcher(args)
+
+    import jax
+    import jax.numpy as jnp
+
+    from columbiaimagesearch_tpu.index.csr import build_csr_device
+    from columbiaimagesearch_tpu.index.tpu_query import lopq_query
+    from columbiaimagesearch_tpu.utils.chunking import round_up
+
+    t0 = time.time()
+    model, (Cs, Rs, mus, subs), coarse, fine, make, key = setup_index(args, t0)
 
     log(f"[{time.time()-t0:.1f}s] building CSR index on device")
     codes, cell_start, order = build_csr_device(coarse, fine, args.V)

@@ -257,8 +257,21 @@ class LOPQSearcherTPU(LOPQSearcherBase):
 
         import jax.numpy as jnp
 
+        # Pad the device codes array to a capacity quantum: appends that stay
+        # within the same capacity keep the query HLO shape unchanged, so
+        # incremental refreshes never trigger a recompile (XLA static-shape
+        # rule; padding rows sit past cell_start[-1] and are never probed).
+        n = len(self._fine)
+        quantum = (1 << 20) if n >= (1 << 20) else 4096
+        cap = round_up(max(n, 1), quantum)
+        fine_dev = self._fine
+        if cap != n:
+            fine_dev = np.concatenate(
+                [self._fine,
+                 np.zeros((cap - n, self._fine.shape[1]), np.uint8)])
+
         self._dev = {
-            "codes": jnp.asarray(self._fine),
+            "codes": jnp.asarray(fine_dev),
             "cell_start": jnp.asarray(cell_start),
             "Cs": jnp.stack([jnp.asarray(C) for C in self.model.Cs]),
             "Rs": jnp.stack([jnp.asarray(R) for R in self.model.Rs]),

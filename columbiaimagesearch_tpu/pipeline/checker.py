@@ -13,6 +13,7 @@ returns the update ids it created; the daemon loop of the reference
 (DaemonExtractionChecker) becomes an ordinary loop the caller owns.
 """
 
+import os
 import time
 
 from columbiaimagesearch_tpu.store.kvindexer import KVIndexer
@@ -32,6 +33,10 @@ class ExtractionChecker:
         self.verbose = verbose
         self.dict_sha1_infos = {}
         self.last_flush = time.time()
+        # Process identifier appended to update ids so concurrent checkers
+        # (and restarts) never collide; must not contain underscores
+        # (reference: extraction_checker.py:200-203).
+        self.pp = f"pid{os.getpid()}"
 
     # ------------------------------------------------------------ internal
 
@@ -49,14 +54,17 @@ class ExtractionChecker:
                 self.dict_sha1_infos[sha1][k] = v
 
     def get_unprocessed_sha1s(self, sha1s):
-        """Filter out sha1s whose extraction already exists
-        (reference: extraction_checker.py:130-139,225-258)."""
-        check_col = (self.indexer.extrcf + ":" + self.extr_str
-                     + "_processed")
+        """Filter out sha1s whose extraction already exists OR that are
+        already assigned to an update (both check columns, like the
+        reference: extraction_checker.py:130-139 ``set_check_columns`` uses
+        ``_processed`` and ``_updateid``; 225-258 get_unprocessed_rows)."""
+        base = self.indexer.extrcf + ":" + self.extr_str
+        check_cols = (base + "_processed", base + "_updateid")
         rows = self.indexer.get_columns_from_sha1_rows(
             sha1s, columns=[self.indexer.extrcf])
-        processed = {r for r, cols in rows if check_col in cols}
-        return [s for s in sha1s if s not in processed]
+        claimed = {r for r, cols in rows
+                   if any(c in cols for c in check_cols)}
+        return [s for s in sha1s if s not in claimed]
 
     def _row_for(self, sha1):
         info = self.dict_sha1_infos.get(sha1, {})
@@ -82,8 +90,11 @@ class ExtractionChecker:
             rows[s][self.indexer.extrcf + ":" + self.extr_str
                     + "_updateid"] = "pending"
         self.indexer.push_dict_rows(rows, self.indexer.table_sha1infos_name)
-        update_id, _ = self.indexer.get_next_update_id(
+        tmp_update_id, _ = self.indexer.get_next_update_id(
             extr_type=self.extr_str)
+        # Append processid + timestamp for safe use with multiple consumers,
+        # even after restart (reference: extraction_checker.py:200-203).
+        update_id = tmp_update_id + "-" + self.pp + "-" + str(time.time())
         self.indexer.push_dict_rows(
             {update_id: {
                 self.indexer.get_col_listsha1s(): ",".join(sha1s),

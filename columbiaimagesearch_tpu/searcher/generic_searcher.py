@@ -17,7 +17,7 @@ from columbiaimagesearch_tpu.searcher.output_mapping import DictOutput
 class GenericSearcher:
     def __init__(self, detector_type="full", featurizer_type="sentibank",
                  input_type="image", sim_limit=100, quota=None,
-                 near_dup=False, near_dup_th=0.8, top_feature=0,
+                 near_dup=False, near_dup_th=0.8, top_feature=100,
                  reranking=False, rerank_nb=None, skip_get_sim_info=False,
                  file_input=False, dict_output_type="CamelCase",
                  detector=None, featurizer=None, indexer=None, storer=None,
@@ -31,8 +31,11 @@ class GenericSearcher:
         self.near_dup_th = near_dup_th
         self.top_feature = top_feature
         self.reranking = reranking
-        self.rerank_nb = rerank_nb if rerank_nb is not None else max(
-            top_feature, 10 * sim_limit)
+        # The reference's top_feature knob's only live effect is as the
+        # rerank-depth default (reference: generic_searcher.py:35,154:
+        # rerank_nb = get_param('rerank_nb', default=self.top_feature)).
+        self.rerank_nb = (rerank_nb if rerank_nb is not None
+                          else (top_feature or 10 * sim_limit))
         self.skip_get_sim_info = skip_get_sim_info
         self.file_input = file_input
         self.verbose = verbose

@@ -226,15 +226,53 @@ class SearcherLOPQ(GenericSearcher):
 
     # --------------------------------------------------------------- query
 
+    def _search_many(self, feat_list, quota, max_returned, reranking,
+                     rerank_nb, filter_near_dup, near_dup_th, split_ids):
+        """Search a wave of query features.
+
+        Concurrent queries in one request (or one serving wave) are routed
+        through the backend's ``search_batch`` when it has one — one device
+        launch for the whole wave instead of a dispatch per query (the role
+        of the reference's gunicorn worker pool, api/gunicorn_api.py:21-75,
+        played by device batching instead of processes).
+        """
+        limit = (max_returned if not reranking
+                 else max(max_returned, rerank_nb))
+        if len(feat_list) > 1 and hasattr(self.searcher, "search_batch"):
+            X = np.asarray([np.squeeze(np.asarray(f, dtype=np.float32))
+                            for f in feat_list])
+            Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True),
+                                1e-30)
+            waves = self.searcher.search_batch(
+                Xn, quota=quota, limit=limit, with_dists=True)
+            return [
+                self._rank_results(Xn[i], results, visited, max_returned,
+                                   reranking, rerank_nb, filter_near_dup,
+                                   near_dup_th, split_ids)
+                for i, (results, visited) in enumerate(waves)
+            ]
+        return [
+            self._search_one(f, quota, max_returned, reranking, rerank_nb,
+                             filter_near_dup, near_dup_th, split_ids)
+            for f in feat_list
+        ]
+
     def _search_one(self, feat, quota, max_returned, reranking, rerank_nb,
                     filter_near_dup, near_dup_th, split_ids):
-        """One query feature -> (ids, image_sha1s, dists)."""
+        """One query feature -> (ids, dists, visited)."""
         norm = np.linalg.norm(feat)
         normed = np.squeeze(np.asarray(feat, dtype=np.float32) / norm)
         results, visited = self.searcher.search(
             normed, quota=quota, limit=max_returned if not reranking
             else max(max_returned, rerank_nb), with_dists=True)
+        return self._rank_results(normed, results, visited, max_returned,
+                                  reranking, rerank_nb, filter_near_dup,
+                                  near_dup_th, split_ids)
 
+    def _rank_results(self, normed, results, visited, max_returned,
+                      reranking, rerank_nb, filter_near_dup, near_dup_th,
+                      split_ids):
+        """Rerank / near-dup filter / truncate one query's raw results."""
         dists = {r.id: r.dist for r in results}
         order = [r.id for r in results]
 
@@ -299,18 +337,26 @@ class SearcherLOPQ(GenericSearcher):
         all_sim_images, all_sim_dets, all_sim_score = [], [], []
 
         if self.detector is not None:
+            # Flatten (image, face) pairs into one wave -> one device launch.
+            coords, wave = [], []
+            for i in range(len(dets)):
+                for j in range(len(dets[i][1])):
+                    if options_dict.get("detect_only") or self.searcher is None:
+                        continue
+                    coords.append((i, j))
+                    wave.append(feats[i][j])
+            answers = dict(zip(coords, self._search_many(
+                wave, quota, max_returned, reranking, rerank_nb,
+                filter_near_dup, near_dup_th, split_ids=True)))
             for i in range(len(dets)):
                 sim_images, sim_dets, sim_score = [], [], []
                 for j in range(len(dets[i][1])):
-                    if options_dict.get("detect_only") or self.searcher is None:
+                    if (i, j) not in answers:
                         sim_images.append([])
                         sim_dets.append([])
                         sim_score.append([])
                         continue
-                    ids, dd, _ = self._search_one(
-                        feats[i][j], quota, max_returned, reranking,
-                        rerank_nb, filter_near_dup, near_dup_th,
-                        split_ids=True)
+                    ids, dd, _ = answers[(i, j)]
                     img_sha1s = [str(r).split("_")[0] for r in ids]
                     sim_images.append(self._info_rows(img_sha1s))
                     sim_dets.append([str(r) for r in ids])
@@ -319,15 +365,20 @@ class SearcherLOPQ(GenericSearcher):
                 all_sim_dets.append(sim_dets)
                 all_sim_score.append(sim_score)
         else:
+            wave = [feats[i] for i in range(len(feats))
+                    if self.searcher is not None]
+            answers = self._search_many(
+                wave, quota, max_returned, reranking, rerank_nb,
+                filter_near_dup, near_dup_th, split_ids=False)
+            w = 0
             for i in range(len(feats)):
                 if self.searcher is None:
                     all_sim_images.append([[]])
                     all_sim_dets.append([])
                     all_sim_score.append([[]])
                     continue
-                ids, dd, _ = self._search_one(
-                    feats[i], quota, max_returned, reranking, rerank_nb,
-                    filter_near_dup, near_dup_th, split_ids=False)
+                ids, dd, _ = answers[w]
+                w += 1
                 sha1s = [str(r) for r in ids]
                 all_sim_images.append([self._info_rows(sha1s)])
                 all_sim_dets.append([])

@@ -226,16 +226,42 @@ class KVIndexer:
         return datetime.date.today().strftime("%Y-%m-%d")
 
     def get_next_update_id(self, today=None, extr_type=""):
-        """(reference: lines 595-617)"""
+        """(reference: lines 595-617)
+
+        Unlike the reference's pure in-memory counter (which resets to 0 on
+        restart and relies solely on the checker's pid+time suffix for
+        uniqueness), the first call of the day seeds the counter from the
+        max sequence already present in the updates table, so a restarted
+        checker on the same day continues numbering instead of reusing ids.
+        """
         if today is None:
             today = self.get_today_string()
-        if today not in self.dict_up:
-            self.dict_up = {today: 0}
+        key = (today, extr_type)
+        if key not in self.dict_up:
+            self.dict_up[key] = self._max_existing_seq(today, extr_type) + 1
         else:
-            self.dict_up[today] += 1
+            self.dict_up[key] += 1
         update_id = (UPDATE_PREFIX + extr_type + "_" + today + "_"
-                     + str(self.dict_up[today]).zfill(3))
+                     + str(self.dict_up[key]).zfill(3))
         return update_id, today
+
+    def _max_existing_seq(self, today, extr_type):
+        """Max update sequence persisted for (extr_type, today), or -1."""
+        prefix = UPDATE_PREFIX + extr_type + "_" + today + "_"
+        with self._lock:
+            fetched = self._conn().execute(
+                "SELECT DISTINCT row FROM kv WHERE tbl=? AND row>=? AND row<?",
+                (self.table_updateinfos_name, prefix, prefix + "~")
+            ).fetchall()
+        best = -1
+        for (row,) in fetched:
+            # row = index_update_<extr>_<date>_<seq>[-<pp>-<time>]
+            seq_str = row[len(prefix):].split("-")[0]
+            try:
+                best = max(best, int(seq_str))
+            except ValueError:
+                continue
+        return best
 
     def _scan_updates(self, start_date, extr_type, maxrows):
         row_start = UPDATE_PREFIX + extr_type + "_" + start_date

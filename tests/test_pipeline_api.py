@@ -215,3 +215,48 @@ def test_processor_claim_prevents_double_processing(pipeline_env):
     rows = kv.get_rows_by_batch([uid], kv.table_updateinfos_name)
     assert not processor.is_update_claimable(rows[0][1])
     kv.delete_row(kv.table_updateinfos_name, uid)
+
+
+def test_update_ids_unique_across_restarts(tmp_path):
+    """Two checker generations on the same day must never overwrite each
+    other's update rows (reference: extraction_checker.py:200-203 pid+time
+    suffix; plus the indexer seeds its daily counter from the table)."""
+    from columbiaimagesearch_tpu.pipeline.ingest import LocalDirIngester
+
+    root = tmp_path / "imgs"
+    root.mkdir()
+    for g in range(2):
+        for s in range(4):
+            Image.fromarray(make_img(g, s)).save(
+                root / f"r{g}_{s}.png")
+
+    db = str(tmp_path / "kv.sqlite")
+    extr_str = "sentibank_feat_full_image"
+
+    kv1 = KVIndexer(path=db)
+    checker1 = ExtractionChecker(kv1, extr_str, LocalDirIngester(str(root)),
+                                 batch_update_size=2)
+    ids1 = checker1.run_once()
+    assert len(ids1) == 4
+
+    # "Restart": fresh indexer (counter state lost) + fresh checker, with
+    # brand-new images so the processed-dedup doesn't hide the collision.
+    for g in range(2):
+        for s in range(4):
+            Image.fromarray(make_img(g + 4, s + 50)).save(
+                root / f"r2_{g}_{s}.png")
+    kv2 = KVIndexer(path=db)
+    checker2 = ExtractionChecker(kv2, extr_str, LocalDirIngester(str(root)),
+                                 batch_update_size=2)
+    ids2 = checker2.run_once()
+    assert len(ids2) == 4
+
+    assert not (set(ids1) & set(ids2))
+    # every update row still present with its own sha1 list
+    rows = {r: c for batch in kv2.get_updates_from_date(
+        "1970-01-01", extr_type=extr_str) for r, c in batch}
+    assert set(ids1) | set(ids2) <= set(rows)
+    # the table-seeded counter also keeps the *sequence* part monotonic
+    seqs1 = {u.rsplit("-", 2)[0] for u in ids1}  # strip -pp-time suffix
+    seqs2 = {u.rsplit("-", 2)[0] for u in ids2}
+    assert not (seqs1 & seqs2)
