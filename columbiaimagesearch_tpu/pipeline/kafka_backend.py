@@ -30,14 +30,19 @@ class KafkaIngester(GenericIngester):
     """Consumer-group reader with offset commits and periodic stats
     (the reference commits every poll and prints stats per 1000 messages)."""
 
-    def __init__(self, topic, servers, group=None, consumer_options=None,
-                 poll_timeout_ms=10_000, verbose=0):
-        kafka = _require_kafka()
-        opts = dict(consumer_options or {})
-        self.consumer = kafka.KafkaConsumer(
-            topic, bootstrap_servers=servers, group_id=group,
-            value_deserializer=lambda v: json.loads(v.decode()),
-            enable_auto_commit=False, **opts)
+    def __init__(self, topic, servers=None, group=None, consumer_options=None,
+                 poll_timeout_ms=10_000, verbose=0, consumer=None):
+        if consumer is not None:
+            # Injected consumer (tests use an in-memory fake; production can
+            # pass a pre-configured KafkaConsumer, e.g. with SSL certs).
+            self.consumer = consumer
+        else:
+            kafka = _require_kafka()
+            opts = dict(consumer_options or {})
+            self.consumer = kafka.KafkaConsumer(
+                topic, bootstrap_servers=servers, group_id=group,
+                value_deserializer=lambda v: json.loads(v.decode()),
+                enable_auto_commit=False, **opts)
         self.poll_timeout_ms = poll_timeout_ms
         self.stats = ThroughputStats("KafkaIngester", report_every=1000)
         self.verbose = verbose
@@ -55,13 +60,17 @@ class KafkaIngester(GenericIngester):
 
 
 class KafkaPusher(GenericPusher):
-    def __init__(self, topic, servers, producer_options=None):
-        kafka = _require_kafka()
-        opts = dict(producer_options or {})
+    def __init__(self, topic, servers=None, producer_options=None,
+                 producer=None):
         self.topic = topic
-        self.producer = kafka.KafkaProducer(
-            bootstrap_servers=servers,
-            value_serializer=lambda v: json.dumps(v).encode(), **opts)
+        if producer is not None:
+            self.producer = producer
+        else:
+            kafka = _require_kafka()
+            opts = dict(producer_options or {})
+            self.producer = kafka.KafkaProducer(
+                bootstrap_servers=servers,
+                value_serializer=lambda v: json.dumps(v).encode(), **opts)
         self.stats = ThroughputStats("KafkaPusher", report_every=1000)
 
     def send(self, msg):

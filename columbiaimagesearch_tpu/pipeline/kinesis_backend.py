@@ -29,10 +29,15 @@ def _require_boto3():
 
 class KinesisIngester(GenericIngester):
     def __init__(self, stream, region=None, endpoint_url=None,
-                 shard_infos_filename=None, verbose=0):
-        boto3 = _require_boto3()
-        self.client = boto3.client("kinesis", region_name=region,
-                                   endpoint_url=endpoint_url)
+                 shard_infos_filename=None, verbose=0, client=None):
+        if client is not None:
+            # Injected client (tests use an in-memory fake; production can
+            # pass a pre-configured boto3 kinesis client).
+            self.client = client
+        else:
+            boto3 = _require_boto3()
+            self.client = boto3.client("kinesis", region_name=region,
+                                       endpoint_url=endpoint_url)
         self.stream = stream
         self.shard_infos_filename = shard_infos_filename
         self.shard_infos = {}
@@ -84,10 +89,13 @@ class KinesisIngester(GenericIngester):
 
 class KinesisPusher(GenericPusher):
     def __init__(self, stream, region=None, endpoint_url=None,
-                 create_stream=False, nb_shards=1):
-        boto3 = _require_boto3()
-        self.client = boto3.client("kinesis", region_name=region,
-                                   endpoint_url=endpoint_url)
+                 create_stream=False, nb_shards=1, client=None):
+        if client is not None:
+            self.client = client
+        else:
+            boto3 = _require_boto3()
+            self.client = boto3.client("kinesis", region_name=region,
+                                       endpoint_url=endpoint_url)
         self.stream = stream
         if create_stream:
             try:
