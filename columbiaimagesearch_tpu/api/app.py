@@ -176,13 +176,17 @@ class SearchAPI:
 
     def view_similar(self, query, response, options=None):
         """HTML rendering of a search response (the role of
-        www/templates/view_similar_images.html — including the blur CSS the
-        reference applies unless no_blur, and the max_height option)."""
+        www/templates/view_similar_images.html and, for faces,
+        view_similar_faces_wbbox.html). Like the reference templates,
+        images are BLURRED unless the ``no_blur`` option is set, and face
+        results are drawn on canvases with their bounding boxes."""
         options_dict, _ = self.get_options_dict(options)
-        no_blur = bool(options_dict.get("no_blur", True))
+        no_blur = bool(options_dict.get("no_blur", False))
         max_height = int(options_dict.get("max_height", 120))
-        blur_css = ("" if no_blur else
-                    "img.sim{filter:blur(8px);-webkit-filter:blur(8px);}")
+        blur = ("" if no_blur else
+                "filter:blur(8px);-webkit-filter:blur(8px);")
+        if self.input_type != "image":
+            return self._view_similar_faces(response, blur, max_height)
         rows = []
         m = self.searcher.do.map
         for entry in response.get(m["all_similar_images"], []):
@@ -195,9 +199,58 @@ class SearchAPI:
                                    block.get(m["cached_image_urls"], []),
                                    block.get(m["distances"], [])))
             rows.append(f"<tr><th>{sha1}</th>{cells}</tr>")
-        return (f"<html><head><style>{blur_css}</style></head>"
+        return ("<html><head><style>img.sim{" + blur + "}</style></head>"
                 "<body><h3>Similar images</h3><table border='1'>"
                 + "".join(rows) + "</table></body></html>")
+
+    def _view_similar_faces(self, response, blur, max_height):
+        """Canvas-rendered face results with red bbox overlays
+        (reference: www/templates/view_similar_faces_wbbox.html — canvas
+        sized to the natural image, 6px red rect, distance text)."""
+        m = self.searcher.do.map
+        script = (
+            "<script>function drawFace(cid,url,l,t,r,b,label){"
+            "var c=document.getElementById(cid);"
+            "var x=c.getContext('2d');var im=new Image();im.src=url;"
+            "im.onload=function(){c.width=im.width;c.height=im.height;"
+            "x.drawImage(im,0,0);"
+            "if(r>l){x.rect(l,t,r-l,b-t);x.lineWidth=6;"
+            "x.strokeStyle='#ff0000';x.stroke();}"
+            "if(label){x.font='18px serif';x.fillText(label,10,25);}};}"
+            "</script>")
+        parts = [f"<html><head><style>canvas.sim{{{blur}"
+                 f"max-height:{max_height}px;}}"
+                 f"canvas.query{{max-height:{max_height}px;}}</style>"
+                 f"{script}</head><body>"]
+        calls = []
+        nid = 0
+        for entry in response.get(m["all_similar_faces"], []):
+            sha1 = entry.get(m["query_sha1"], "")
+            url = entry.get(m["query_url"], "")
+            qbox = entry.get(m["query_face"], {}) or {}
+            nid += 1
+            cid = f"q{nid}"
+            parts.append(f"<h2>Query face: {sha1}</h2>"
+                         f"<canvas class='query' id='{cid}'></canvas>")
+            calls.append(
+                f"drawFace('{cid}','{url}',{qbox.get('left', 0)},"
+                f"{qbox.get('top', 0)},{qbox.get('right', 0)},"
+                f"{qbox.get('bottom', 0)},'');")
+            block = entry.get(m["similar_faces"], {})
+            parts.append("<h3>Results:</h3>")
+            for s, u, bbox, d in zip(block.get(m["image_sha1s"], []),
+                                     block.get(m["cached_image_urls"], []),
+                                     block.get(m["faces"], []),
+                                     block.get(m["distances"], [])):
+                nid += 1
+                cid = f"r{nid}"
+                parts.append(f"<canvas class='sim' id='{cid}'></canvas>")
+                calls.append(
+                    f"drawFace('{cid}','{u}',{bbox.get('left', 0)},"
+                    f"{bbox.get('top', 0)},{bbox.get('right', 0)},"
+                    f"{bbox.get('bottom', 0)},'{d:.4f}');")
+        parts.append("<script>" + "".join(calls) + "</script></body></html>")
+        return "".join(parts)
 
 
 def make_server(searcher, endpoint="cuimgsearch", port=5000, host="127.0.0.1",

@@ -88,6 +88,71 @@ def build_searcher(conf, prefix="SEARCHLOPQ_", indexer=None, storer=None):
         verbose=int(r.get_param("verbose", 0)))
 
 
+def build_ingester(conf, prefix="IMG_ING_"):
+    """Conf -> image ingester: local dir / MemoryBus / Kafka / Kinesis
+    (the role of the reference's ingester conf wiring,
+    ingester/kafka_ingester.py:20-60, kinesis_ingester.py:16-69)."""
+    r = ConfReader(conf, prefix)
+    input_type = r.get_param("input_type", "local")
+    if input_type == "local":
+        from columbiaimagesearch_tpu.pipeline.ingest import LocalDirIngester
+
+        return LocalDirIngester(r.get_required_param("input_path"))
+    elif input_type == "kafka":
+        from columbiaimagesearch_tpu.pipeline.kafka_backend import KafkaIngester
+
+        return KafkaIngester(
+            r.get_required_param("topic_name"),
+            servers=r.get_param("servers"),
+            group=r.get_param("consumer_group"),
+            consumer_options=r.get_param("consumer_options"))
+    elif input_type == "kinesis":
+        from columbiaimagesearch_tpu.pipeline.kinesis_backend import (
+            KinesisIngester,
+        )
+
+        return KinesisIngester(
+            r.get_required_param("stream_name"),
+            region=r.get_param("region_name"),
+            endpoint_url=r.get_param("endpoint_url"),
+            shard_infos_filename=r.get_param("shard_infos_filename"))
+    raise ValueError(f"Unknown input_type: {input_type}")
+
+
+def build_pusher(conf, prefix="IMG_PUSH_", bus=None):
+    """Conf -> message pusher: memory bus / Kafka / Kinesis
+    (reference: pusher/kafka_pusher.py:22-148, kinesis_pusher.py:24-150)."""
+    r = ConfReader(conf, prefix)
+    pushing_type = r.get_param("image_pushing_type",
+                               r.get_param("pushing_type", "memory"))
+    if pushing_type == "memory":
+        from columbiaimagesearch_tpu.pipeline.ingest import (
+            MemoryBus,
+            MemoryBusPusher,
+        )
+
+        bus = bus if bus is not None else MemoryBus(
+            journal_path=r.get_param("journal_path"))
+        return MemoryBusPusher(bus, r.get_param("topic_name", "images"))
+    elif pushing_type == "kafka":
+        from columbiaimagesearch_tpu.pipeline.kafka_backend import KafkaPusher
+
+        return KafkaPusher(r.get_required_param("topic_name"),
+                           servers=r.get_param("servers"))
+    elif pushing_type == "kinesis":
+        from columbiaimagesearch_tpu.pipeline.kinesis_backend import (
+            KinesisPusher,
+        )
+
+        return KinesisPusher(
+            r.get_required_param("stream_name"),
+            region=r.get_param("region_name"),
+            endpoint_url=r.get_param("endpoint_url"),
+            create_stream=bool(r.get_param("create_stream", False)),
+            nb_shards=int(r.get_param("nb_shards", 1)))
+    raise ValueError(f"Unknown pushing_type: {pushing_type}")
+
+
 def build_checker(conf, prefix="CHECK_", indexer=None, ingester=None,
                   pusher=None):
     from columbiaimagesearch_tpu.extraction.extractor import build_extr_str
@@ -149,6 +214,62 @@ def generate_conf_searcher(env=None):
             if candidate in env:
                 conf[confk] = env[candidate]
                 break
+    return conf
+
+
+def generate_conf_ingester(env=None):
+    """env vars -> ingester/pusher conf dict
+    (reference: setup/ConfGenerator/create_conf_ingester.py: required
+    input_type/images_topic, local input_path/source_zip, kafka
+    input_topic/input_consumer_group/kafka_servers, kinesis
+    input_stream/region_name/endpoint_url, pusher image_pushing_type +
+    images_topic/images_stream/create_stream/nb_shards)."""
+    env = env if env is not None else os.environ
+
+    def get(*names, default=None):
+        for n in names:
+            for candidate in (n, n.upper()):
+                if candidate in env:
+                    return env[candidate]
+        return default
+
+    conf = {}
+    input_type = get("input_type", default="local")
+    conf["IMG_ING_input_type"] = input_type
+    if input_type == "local":
+        conf["IMG_ING_input_path"] = get(
+            "input_path", default="./data/input_images/")
+        if get("source_zip"):
+            conf["IMG_ING_source_zip"] = get("source_zip")
+    elif input_type == "kafka":
+        conf["IMG_ING_topic_name"] = get("input_topic")
+        conf["IMG_ING_consumer_group"] = get("input_consumer_group")
+        if get("kafka_servers"):
+            conf["IMG_ING_servers"] = get("kafka_servers")
+    elif input_type == "kinesis":
+        conf["IMG_ING_stream_name"] = get("input_stream")
+        conf["IMG_ING_region_name"] = get("region_name")
+        if get("endpoint_url"):
+            conf["IMG_ING_endpoint_url"] = get("endpoint_url")
+        if get("shard_infos_filename"):
+            conf["IMG_ING_shard_infos_filename"] = get("shard_infos_filename")
+
+    pushing_type = get("image_pushing_type", default="memory")
+    conf["IMG_PUSH_image_pushing_type"] = pushing_type
+    if pushing_type == "kafka":
+        conf["IMG_PUSH_topic_name"] = get("images_topic")
+        if get("kafka_servers"):
+            conf["IMG_PUSH_servers"] = get("kafka_servers")
+    elif pushing_type == "kinesis":
+        conf["IMG_PUSH_stream_name"] = get("images_stream")
+        conf["IMG_PUSH_region_name"] = get("region_name")
+        if get("endpoint_url"):
+            conf["IMG_PUSH_endpoint_url"] = get("endpoint_url")
+        conf["IMG_PUSH_create_stream"] = bool(int(get("create_stream",
+                                                      default="0")))
+        conf["IMG_PUSH_nb_shards"] = int(get("nb_shards", default="1"))
+    else:
+        conf["IMG_PUSH_topic_name"] = get("images_topic", default="images")
     return conf
 
 

@@ -13,6 +13,11 @@ import functools
 import jax
 import jax.numpy as jnp
 
+# Cell id used for unoccupied capacity rows: sorts after every real cell and
+# is excluded from the offsets table, so padding is never probed.
+def _sentinel(V):
+    return V * V
+
 
 @functools.partial(jax.jit, static_argnames=("V",))
 def build_csr_device(coarse, fine, V: int):
@@ -36,3 +41,35 @@ def build_csr_device(coarse, fine, V: int):
     cell_start = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts).astype(jnp.int32)])
     return codes, cell_start, order
+
+
+@functools.partial(jax.jit, static_argnames=("V",), donate_argnums=(0, 1))
+def append_and_build_csr(dev_cells, dev_fine, new_cells, new_fine, offset,
+                         V: int):
+    """Append a chunk into capacity buffers and rebuild the CSR — on device.
+
+    The incremental-refresh path: the host uploads ONLY the new rows (the
+    chunk may carry sentinel-padded tail rows so its shape is quantized);
+    the 10M-row sort/gather/offsets run as XLA ops instead of shipping
+    ~150 MB of re-packed index over PCIe per refresh.
+
+    :param dev_cells: [cap] int32 cell ids, sentinel V*V on unoccupied rows
+    :param dev_fine: [cap, M] uint8 fine codes (donated, updated in place)
+    :param new_cells: [k] int32 chunk (sentinel-padded tail allowed)
+    :param new_fine: [k, M] uint8 chunk
+    :param offset: scalar int32 — number of occupied rows before the append
+    :returns: (dev_cells, dev_fine, codes_sorted [cap, M],
+               cell_start [V^2+1] int32, order [cap] int32 — insertion index
+               of each sorted row)
+    """
+    dev_cells = jax.lax.dynamic_update_slice(dev_cells, new_cells, (offset,))
+    dev_fine = jax.lax.dynamic_update_slice(dev_fine, new_fine,
+                                            (offset, jnp.int32(0)))
+    order = jnp.argsort(dev_cells, stable=True).astype(jnp.int32)
+    codes = dev_fine[order]
+    real = (dev_cells < _sentinel(V)).astype(jnp.int32)
+    counts = jnp.zeros(V * V, jnp.int32).at[
+        jnp.minimum(dev_cells, _sentinel(V) - 1)].add(real)
+    cell_start = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts).astype(jnp.int32)])
+    return dev_cells, dev_fine, codes, cell_start, order

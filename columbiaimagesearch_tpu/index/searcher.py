@@ -21,7 +21,6 @@ from columbiaimagesearch_tpu.index.multisequence import multisequence
 from columbiaimagesearch_tpu.utils.chunking import round_up
 from columbiaimagesearch_tpu.utils.codes import (
     code_dtype_for,
-    dedup_first_mask,
     ids_to_object_array,
 )
 
@@ -164,20 +163,33 @@ class LOPQSearcher(LOPQSearcherBase):
 class LOPQSearcherTPU(LOPQSearcherBase):
     """HBM-resident CSR multi-index with a fused on-device query.
 
-    Codes are kept host-side in append buffers and packed to the device
-    lazily (sorted by cell id + [V^2+1] offsets) on the first search after a
-    mutation — the incremental-append role of the reference's LMDB index.
+    The incremental-append role of the reference's LMDB index, redesigned
+    device-first: codes live in capacity-padded device buffers in insertion
+    order; each refresh uploads ONLY the newly appended rows and rebuilds
+    the cell-sorted CSR view on device (sort + gather + offsets as XLA ops,
+    csr.append_and_build_csr). Host keeps insertion-order copies for result
+    reconstruction and a sorted key array for exact first-insertion dedup.
     """
+
+    #: appended chunks are sentinel-padded to this multiple so refreshes
+    #: reuse one compiled append program
+    CHUNK_QUANTUM = 8192
 
     def __init__(self, model, probe_width=None, codestore_path=None):
         super().__init__()
         self.model = model
         self.probe_width = probe_width
         self._pending = []  # list of (cells int64 [n], fine uint8 [n, M], ids)
-        self._cells = None  # packed: sorted cell id per row
-        self._fine = None
-        self._ids = None
-        self._dev = None    # (codes_dev, cell_start_dev, params...)
+        self._cells = None  # int64 [n] cell ids, INSERTION order
+        self._fine = None   # uint8 [n, M], insertion order
+        self._ids = None    # object [n]
+        self._id_index = {}  # id -> dense int (dedup interning)
+        self._keys = None   # int64 sorted (cell<<34|id_idx) keys
+        self._buf_cells = None  # device [cap] int32, sentinel-padded
+        self._buf_fine = None   # device [cap, M] uint8
+        self._cap = 0
+        self._n_dev = 0     # occupied device rows
+        self._dev = None    # codes/cell_start/order + model tables
         self._dirty = True
         self._codestore = None
         if codestore_path is not None:
@@ -212,85 +224,143 @@ class LOPQSearcherTPU(LOPQSearcherBase):
             self._codestore.sync()
         self._dirty = True
 
+    def _dedup_new(self, cells_new, ids_new):
+        """Keep-mask for new rows: first occurrence of a never-seen
+        (cell, id), exactly (reference duplicate handling,
+        lopq/lopq/search.py:342-364). Ids are interned into a persistent
+        dense-int table so only NEW rows are hashed per refresh."""
+        n = len(cells_new)
+        idx = np.empty(n, dtype=np.int64)
+        d = self._id_index
+        if not d and n > 100_000:
+            # Bulk path: hash-based factorize, then materialize the table.
+            import pandas as pd
+
+            codes_i, uniques = pd.factorize(ids_new)
+            idx[:] = codes_i
+            self._id_index = dict(zip(list(uniques), range(len(uniques))))
+        else:
+            for i, x in enumerate(ids_new):
+                v = d.get(x)
+                if v is None:
+                    v = len(d)
+                    d[x] = v
+                idx[i] = v
+        keys = (cells_new.astype(np.int64) << 34) | idx
+        keep = np.zeros(n, dtype=bool)
+        _, first = np.unique(keys, return_index=True)
+        keep[first] = True
+        if self._keys is not None and len(self._keys):
+            pos = np.minimum(np.searchsorted(self._keys, keys),
+                             len(self._keys) - 1)
+            keep &= self._keys[pos] != keys
+        new_keys = keys[keep]
+        self._keys = np.sort(new_keys if self._keys is None
+                             else np.concatenate([self._keys, new_keys]))
+        return keep
+
     def _pack(self):
         if not self._dirty:
             return
-        parts_c, parts_f, parts_i = [], [], []
-        if self._cells is not None:
-            parts_c.append(self._cells)
-            parts_f.append(self._fine)
-            parts_i.append(self._ids)
-        for c, f, i in self._pending:
-            parts_c.append(c)
-            parts_f.append(f)
-            parts_i.append(i)
-        self._pending = []
-        cells = np.concatenate(parts_c) if parts_c else np.zeros(0, np.int64)
-        fine = (np.concatenate(parts_f) if parts_f
-                else np.zeros((0, self.model.M), np.uint8))
-        ids = (np.concatenate(parts_i) if parts_i
-               else np.zeros(0, dtype=object))
-
-        # Dedup (cell, id) keeping first insertion (reference add_codes
-        # duplicate handling, lopq/lopq/search.py:342-364). Vectorized:
-        # O(N) hash interning + one unique pass — NOT a Python row loop.
-        keep = dedup_first_mask(cells, ids)
-        if not keep.all():
-            cells, fine, ids = cells[keep], fine[keep], ids[keep]
-
-        order = np.argsort(cells, kind="stable")
-        self._cells = cells[order]
-        self._fine = fine[order]
-        self._ids = ids[order]
-        self.nb_indexed = len(self._cells)
-
-        n_cells = self.model.V * self.model.V
-        if self.model.V > 16384:
+        V = self.model.V
+        if V > 16384:
             raise ValueError(
-                f"V={self.model.V}: the dense [V^2+1] CSR offsets table "
-                "would exceed device memory; use the sharded index or a "
-                "smaller coarse codebook")
-        # CSR offsets: cell_start[c] .. cell_start[c+1] rows belong to cell c.
-        counts = np.bincount(self._cells, minlength=n_cells)
-        cell_start = np.zeros(n_cells + 1, dtype=np.int32)
-        np.cumsum(counts, out=cell_start[1:])
+                f"V={V}: the dense [V^2+1] CSR offsets table would exceed "
+                "device memory; use the sharded index or a smaller coarse "
+                "codebook")
+        n_before = len(self._cells) if self._cells is not None else 0
+        if self._pending:
+            cells_new = np.concatenate([p[0] for p in self._pending])
+            fine_new = np.concatenate([p[1] for p in self._pending])
+            ids_new = np.concatenate([p[2] for p in self._pending])
+            self._pending = []
+            keep = self._dedup_new(cells_new, ids_new)
+            if not keep.all():
+                cells_new = cells_new[keep]
+                fine_new = fine_new[keep]
+                ids_new = ids_new[keep]
+            if self._cells is None:
+                self._cells, self._fine, self._ids = (cells_new, fine_new,
+                                                      ids_new)
+            elif len(cells_new):
+                self._cells = np.concatenate([self._cells, cells_new])
+                self._fine = np.concatenate([self._fine, fine_new])
+                self._ids = np.concatenate([self._ids, ids_new])
+        n = len(self._cells) if self._cells is not None else 0
+        self.nb_indexed = n
+        if n == 0:
+            self._dirty = False
+            return
 
         import jax.numpy as jnp
 
-        # Pad the device codes array to a capacity quantum: appends that stay
-        # within the same capacity keep the query HLO shape unchanged, so
-        # incremental refreshes never trigger a recompile (XLA static-shape
-        # rule; padding rows sit past cell_start[-1] and are never probed).
-        n = len(self._fine)
-        quantum = (1 << 20) if n >= (1 << 20) else 4096
-        cap = round_up(max(n, 1), quantum)
-        fine_dev = self._fine
-        if cap != n:
-            fine_dev = np.concatenate(
-                [self._fine,
-                 np.zeros((cap - n, self._fine.shape[1]), np.uint8)])
+        from columbiaimagesearch_tpu.index.csr import append_and_build_csr
 
-        self._dev = {
-            "codes": jnp.asarray(fine_dev),
-            "cell_start": jnp.asarray(cell_start),
-            "Cs": jnp.stack([jnp.asarray(C) for C in self.model.Cs]),
-            "Rs": jnp.stack([jnp.asarray(R) for R in self.model.Rs]),
-            "mus": jnp.stack([jnp.asarray(m) for m in self.model.mus]),
-            "subs": jnp.stack(
-                [jnp.stack([jnp.asarray(s) for s in half])
-                 for half in self.model.subquantizers]),
-        }
+        if self._dev is None:
+            # Model parameters are immutable for the life of the searcher —
+            # upload once (Rs alone is V*D^2*2 floats, ~540 MB at the
+            # production config; re-shipping it per refresh dominated the
+            # repack cost).
+            self._dev = {
+                "Cs": jnp.stack([jnp.asarray(C) for C in self.model.Cs]),
+                "Rs": jnp.stack([jnp.asarray(R) for R in self.model.Rs]),
+                "mus": jnp.stack([jnp.asarray(m) for m in self.model.mus]),
+                "subs": jnp.stack(
+                    [jnp.stack([jnp.asarray(s) for s in half])
+                     for half in self.model.subquantizers]),
+            }
+
+        M = self._fine.shape[1]
+        sentinel = V * V
+        quantum = (1 << 20) if n >= (1 << 20) else 16384
+        need_cap = round_up(n + self.CHUNK_QUANTUM, quantum)
+        if self._buf_cells is None or need_cap > self._cap:
+            # (Re)build: allocate capacity buffers prefilled with every row.
+            self._cap = need_cap
+            buf_c = np.full(self._cap, sentinel, np.int32)
+            buf_c[:n] = self._cells.astype(np.int32)
+            buf_f = np.zeros((self._cap, M), np.uint8)
+            buf_f[:n] = self._fine
+            self._buf_cells = jnp.asarray(buf_c)
+            self._buf_fine = jnp.asarray(buf_f)
+            chunk_c = np.full(self.CHUNK_QUANTUM, sentinel, np.int32)
+            chunk_f = np.zeros((self.CHUNK_QUANTUM, M), np.uint8)
+            offset = n
+        else:
+            # Incremental: upload ONLY the new rows (sentinel-padded chunk).
+            k = n - self._n_dev
+            if k == 0:  # everything deduped away; device view unchanged
+                self._dirty = False
+                return
+            k_pad = round_up(k, self.CHUNK_QUANTUM)
+            chunk_c = np.full(k_pad, sentinel, np.int32)
+            chunk_c[:k] = self._cells[self._n_dev:n].astype(np.int32)
+            chunk_f = np.zeros((k_pad, M), np.uint8)
+            chunk_f[:k] = self._fine[self._n_dev:n]
+            offset = self._n_dev
+        (self._buf_cells, self._buf_fine, codes, cell_start,
+         order) = append_and_build_csr(
+            self._buf_cells, self._buf_fine, jnp.asarray(chunk_c),
+            jnp.asarray(chunk_f), jnp.int32(offset), V)
+        self._n_dev = n
+        self._dev["codes"] = codes
+        self._dev["cell_start"] = cell_start
+        self._dev["order"] = order
         self._dirty = False
+        del n_before
 
     def get_cell(self, cell):
+        """All (id, code) pairs of one cell (reference LMDB prefix-scan role,
+        lopq/lopq/search.py:472-499). Host-side linear scan over the
+        insertion-order arrays — API parity only, not the hot query path."""
         self._pack()
+        if self.nb_indexed == 0:
+            return []
         c = int(cell[0]) * self.model.V + int(cell[1])
-        lo = np.searchsorted(self._cells, c, side="left")
-        hi = np.searchsorted(self._cells, c, side="right")
         V, S = self.model.V, self.model.subquantizer_clusters
         cdt, fdt = code_dtype_for(V), code_dtype_for(S)
         out = []
-        for r in range(lo, hi):
+        for r in np.nonzero(self._cells == c)[0]:
             coarse = (cdt(self._cells[r] // V), cdt(self._cells[r] % V))
             fine = tuple(fdt(v) for v in self._fine[r])
             out.append((self._ids[r], LOPQCode(coarse, fine)))
@@ -305,7 +375,7 @@ class LOPQSearcherTPU(LOPQSearcherBase):
         import jax
         import jax.numpy as jnp
 
-        from columbiaimagesearch_tpu.index.tpu_query import lopq_query
+        from columbiaimagesearch_tpu.index.tpu_query import lopq_query_orig
 
         X = np.asarray(X, dtype=np.float32)
         if isinstance(self.model, LOPQModelPCA):
@@ -321,15 +391,16 @@ class LOPQSearcherTPU(LOPQSearcherBase):
                 round_up(self.nb_indexed, 256))
         K_pad = min(round_up(K, 16), Q)
 
-        def qfn(q, Cs, Rs, mus, subs, codes, cell_start, qq):
-            return lopq_query(q, Cs, Rs, mus, subs, codes, cell_start, qq,
-                              V=V, B=B, Q=Q, K=K_pad)
+        def qfn(q, Cs, Rs, mus, subs, codes, cell_start, order, qq):
+            return lopq_query_orig(q, Cs, Rs, mus, subs, codes, cell_start,
+                                   order, qq, V=V, B=B, Q=Q, K=K_pad)
 
-        batched = jax.vmap(qfn, in_axes=(0,) + (None,) * 7)
+        batched = jax.vmap(qfn, in_axes=(0,) + (None,) * 8)
         d = self._dev
         rows_b, dists_b, _, ncells_b = batched(
             jnp.asarray(X), d["Cs"], d["Rs"], d["mus"], d["subs"],
-            d["codes"], d["cell_start"], jnp.asarray(quota, dtype=jnp.int32))
+            d["codes"], d["cell_start"], d["order"],
+            jnp.asarray(quota, dtype=jnp.int32))
         rows_b = np.asarray(rows_b)
         dists_b = np.asarray(dists_b)
         ncells_b = np.asarray(ncells_b)
@@ -361,7 +432,7 @@ class LOPQSearcherTPU(LOPQSearcherBase):
         """Fused device query; same contract as the parity searcher."""
         import jax.numpy as jnp
 
-        from columbiaimagesearch_tpu.index.tpu_query import lopq_query
+        from columbiaimagesearch_tpu.index.tpu_query import lopq_query_orig
 
         if isinstance(self.model, LOPQModelPCA):
             x = self.model.apply_PCA(x)
@@ -376,10 +447,10 @@ class LOPQSearcherTPU(LOPQSearcherBase):
         K_pad = min(round_up(K, 16), Q)
 
         d = self._dev
-        rows, dists, total, n_cells = lopq_query(
+        rows, dists, total, n_cells = lopq_query_orig(
             jnp.asarray(np.asarray(x, dtype=np.float32)),
             d["Cs"], d["Rs"], d["mus"], d["subs"],
-            d["codes"], d["cell_start"], quota,
+            d["codes"], d["cell_start"], d["order"], quota,
             V=V, B=B, Q=Q, K=K_pad)
         rows = np.asarray(rows)[:K]
         dists = np.asarray(dists)[:K]

@@ -136,3 +136,16 @@ def lopq_query(
     top_neg, top_idx = jax.lax.top_k(-dists, K)
     top_rows = jnp.where(jnp.isfinite(top_neg), rows[top_idx], -1)
     return top_rows, -top_neg, total, n_cells
+
+
+@functools.partial(jax.jit, static_argnames=("V", "B", "Q", "K"))
+def lopq_query_orig(x, Cs, Rs, mus, subs, codes, cell_start, order, quota,
+                    *, V: int, B: int, Q: int, K: int):
+    """``lopq_query`` + mapping of sorted-row hits back to insertion-order
+    row indices via the ``order`` permutation (see csr.append_and_build_csr).
+    One jit: the gather fuses with the query instead of costing an extra
+    dispatch per call."""
+    rows, dists, total, n_cells = lopq_query(
+        x, Cs, Rs, mus, subs, codes, cell_start, quota, V=V, B=B, Q=Q, K=K)
+    rows = jnp.where(rows >= 0, order[jnp.maximum(rows, 0)], -1)
+    return rows, dists, total, n_cells

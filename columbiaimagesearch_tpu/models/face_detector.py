@@ -72,19 +72,59 @@ def _bucket(size: int) -> int:
     return b
 
 
+def default_template_path():
+    """Conventional trained-template location: $FACE_TEMPLATE or
+    ``<package>/models/weights/face_template.npz`` (the role of the
+    reference's dlib detector model auto-download,
+    featurizer/dlib_featurizer.py:1-47; no egress here, so the artifact is
+    trained/committed via scripts/train_face_template.py)."""
+    import os
+
+    env = os.environ.get("FACE_TEMPLATE")
+    if env:
+        return env
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "weights", "face_template.npz")
+
+
 class ConvHOGFaceDetector:
     """Sliding-window detector with the reference detector's contract."""
 
-    def __init__(self, template=None, bias=0.0, threshold=0.5,
+    def __init__(self, template=None, bias=None, threshold=0.5,
                  nms_iou=0.4, min_size=WINDOW):
+        if template is None:
+            loaded = self._load_default()
+            if loaded is not None:
+                template, file_bias = loaded
+                if bias is None:
+                    bias = file_bias
         if template is None:
             rng = np.random.RandomState(0)
             template = 0.01 * rng.randn(TCELLS, TCELLS, N_ORIENT)
         self.template = jnp.asarray(template, dtype=jnp.float32)
-        self.bias = float(bias)
+        self.bias = float(bias) if bias is not None else 0.0
         self.threshold = threshold
         self.nms_iou = nms_iou
         self.min_size = min_size
+
+    @staticmethod
+    def _load_default():
+        import os
+
+        path = default_template_path()
+        if path and os.path.exists(path):
+            with np.load(path) as z:
+                return z["template"], float(z["bias"])
+        return None
+
+    def save_template(self, path=None):
+        import os
+
+        path = path or default_template_path()
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        np.savez(path, template=np.asarray(self.template),
+                 bias=np.float32(self.bias))
+        return path
 
     # ----------------------------------------------------------- detection
 

@@ -134,6 +134,57 @@ def load_caffe_weights(blobs: dict):
     return params
 
 
+WEIGHTS_ENV = "SENTIBANK_WEIGHTS"
+
+
+def default_weights_path():
+    """Conventional pretrained-weights location: $SENTIBANK_WEIGHTS or
+    ``<package>/models/weights/sentibank.npz``. The reference auto-downloads
+    its caffemodel from Dropbox (sbpycaffe_img_featurizer.py:1-6,57-67);
+    this environment has no egress, so weights are instead dropped into
+    place once (converted via load_caffe_weights / load_torch_weights +
+    save_weights_npz) and auto-loaded from then on."""
+    import os
+
+    env = os.environ.get(WEIGHTS_ENV)
+    if env:
+        return env
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "weights", "sentibank.npz")
+
+
+def save_weights_npz(params, path):
+    """Persist Flax params as a flat npz (keys ``<layer>/kernel|bias``)."""
+    import os
+
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    flat = {}
+    for layer, lv in params.items():
+        for k, v in lv.items():
+            flat[f"{layer}/{k}"] = np.asarray(v)
+    np.savez(path, **flat)
+
+
+def load_weights_npz(path):
+    """Load params persisted by :func:`save_weights_npz`."""
+    with np.load(path) as z:
+        params = {}
+        for key in z.files:
+            layer, k = key.split("/")
+            params.setdefault(layer, {})[k] = jnp.asarray(z[key])
+    return params
+
+
+def load_default_weights():
+    """Load pretrained weights from the conventional path, or None."""
+    import os
+
+    path = default_weights_path()
+    if path and os.path.exists(path):
+        return load_weights_npz(path)
+    return None
+
+
 def load_torch_weights(state_dict):
     """Convert a torch state dict (Conv2d/Linear modules named conv1..conv5,
     fc6, fc7, fc8) into Flax params — torch's [out, in/g, kh, kw] conv and
@@ -168,7 +219,13 @@ class SentibankFeaturizer:
 
     def __init__(self, params=None, mean_image=None, seed: int = 0,
                  compute_dtype="float32"):
+        if params is None:
+            # Pretrained weights auto-load from the conventional path
+            # (the role of the reference's model auto-download,
+            # sbpycaffe_img_featurizer.py:57-67); random init otherwise.
+            params = load_default_weights()
         self.params = params if params is not None else init_params(seed)
+        self.pretrained = params is not None
         self.compute_dtype = compute_dtype
         self._params_bf16 = (
             jax.tree.map(lambda a: a.astype(jnp.bfloat16), self.params)

@@ -52,21 +52,59 @@ class MemoryBus:
         self.lock = threading.Lock()
         self.journal_path = journal_path
         self.offsets = {}
-        if journal_path and os.path.exists(journal_path):
-            with open(journal_path) as f:
-                state = json.load(f)
-            self.offsets = state.get("offsets", {})
-            self.topics = state.get("topics", {})
+        self._jf = None
+        if journal_path:
+            if os.path.exists(journal_path):
+                self._replay(journal_path)
+            self._jf = open(journal_path, "a")
 
-    def _persist(self):
-        if self.journal_path:
-            with open(self.journal_path, "w") as f:
-                json.dump({"offsets": self.offsets, "topics": self.topics}, f)
+    def _replay(self, path):
+        """Rebuild state from the append-only journal (one JSON per line:
+        ``{"t", "m"}`` = published message, ``{"o", "p"}`` = offset commit;
+        a line holding a legacy full-state snapshot is also accepted)."""
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    entry = json.loads(line)
+                except ValueError:
+                    continue  # torn tail write from a crash
+                if "t" in entry:
+                    self.topics.setdefault(entry["t"], []).append(entry["m"])
+                elif "o" in entry:
+                    self.offsets[entry["o"]] = entry["p"]
+                elif "topics" in entry or "offsets" in entry:
+                    self.topics = entry.get("topics", self.topics)
+                    self.offsets = entry.get("offsets", self.offsets)
+
+    def _append(self, entry):
+        # O(1) append per event (the old implementation rewrote the whole
+        # journal per message: O(N^2) on the durable ingest path).
+        if self._jf is not None:
+            self._jf.write(json.dumps(entry) + "\n")
+            self._jf.flush()
+
+    def compact(self):
+        """Rewrite the journal as one snapshot (drops replay cost after
+        long runs); safe to call any time."""
+        if not self.journal_path:
+            return
+        with self.lock:
+            tmp = self.journal_path + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(json.dumps({"topics": self.topics,
+                                    "offsets": self.offsets}) + "\n")
+            if self._jf is not None:
+                self._jf.close()
+            os.replace(tmp, self.journal_path)
+            self._jf = open(self.journal_path, "a")
 
     def publish(self, topic, msg):
         with self.lock:
             self.topics.setdefault(topic, []).append(msg)
-            self._persist()
+            self._append({"t": topic, "m": msg})
 
     def consume(self, topic, group):
         """Yield messages after the group's committed offset."""
@@ -79,7 +117,7 @@ class MemoryBus:
                     return
                 msg = msgs[pos]
                 self.offsets[key] = pos + 1
-                self._persist()
+                self._append({"o": key, "p": pos + 1})
             yield msg
 
 

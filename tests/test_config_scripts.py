@@ -132,3 +132,51 @@ def test_searcher_factory_over_processed_store(tmp_path):
     path0 = str(root / "im_2_3.png")
     out = searcher.search_image_path_list([path0], {"max_returned": 3})
     assert out["AllSimilarImages"][0]["SimilarImages"]["Distances"][0] < 1e-3
+
+
+def test_ingester_conf_generator_and_builders(tmp_path):
+    from columbiaimagesearch_tpu.common.factory import (
+        build_ingester,
+        build_pusher,
+        generate_conf_ingester,
+    )
+    from columbiaimagesearch_tpu.pipeline.ingest import (
+        LocalDirIngester,
+        MemoryBusPusher,
+    )
+
+    # local input + memory pushing (the all-in-one default)
+    env = {"input_type": "local", "input_path": str(tmp_path),
+           "images_topic": "imgs"}
+    conf = generate_conf_ingester(env)
+    assert conf["IMG_ING_input_type"] == "local"
+    assert conf["IMG_ING_input_path"] == str(tmp_path)
+    ing = build_ingester(conf)
+    assert isinstance(ing, LocalDirIngester)
+    pusher = build_pusher(conf)
+    assert isinstance(pusher, MemoryBusPusher) and pusher.topic == "imgs"
+
+    # kafka mapping (reference create_conf_ingester.py kafka branch)
+    env = {"input_type": "kafka", "input_topic": "crawl",
+           "input_consumer_group": "g1",
+           "kafka_servers": '["k0:9093"]',
+           "image_pushing_type": "kafka", "images_topic": "imgs"}
+    conf = generate_conf_ingester(env)
+    assert conf["IMG_ING_topic_name"] == "crawl"
+    assert conf["IMG_ING_consumer_group"] == "g1"
+    assert conf["IMG_PUSH_topic_name"] == "imgs"
+
+    # kinesis mapping (reference kinesis branch)
+    env = {"input_type": "kinesis", "input_stream": "s-in",
+           "region_name": "us-east-1", "endpoint_url": "http://k:4567",
+           "image_pushing_type": "kinesis", "images_stream": "s-out",
+           "create_stream": "1", "nb_shards": "4"}
+    conf = generate_conf_ingester(env)
+    assert conf["IMG_ING_stream_name"] == "s-in"
+    assert conf["IMG_PUSH_stream_name"] == "s-out"
+    assert conf["IMG_PUSH_create_stream"] is True
+    assert conf["IMG_PUSH_nb_shards"] == 4
+
+    # unknown type
+    with pytest.raises(ValueError):
+        build_ingester({"IMG_ING_input_type": "nope"})

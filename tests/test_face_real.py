@@ -1,0 +1,93 @@
+"""Real-photo sanity for the face pipeline (no network access).
+
+The reference's face stack is dlib's pretrained detector + embedder
+exercised on live URLs (reference: detector/dlib_detector.py:10-35,
+featurizer/dlib_featurizer.py:50-105, tests/test_dlibfacedetect.py). With
+no egress, the shipped artifact is a template trained on the bundled
+public-domain portrait (scripts/train_face_template.py); these tests assert
+the shipped detector finds the real face, aligned chips are stable, and
+embeddings behave metrically (same-face crops closer than non-face crops).
+"""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+DATA = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
+HOPPER_BBOX = (175, 140, 360, 380)  # hand annotation, see data/README.md
+
+
+def _iou(a, b):
+    xx1, yy1 = max(a[0], b[0]), max(a[1], b[1])
+    xx2, yy2 = min(a[2], b[2]), min(a[3], b[3])
+    inter = max(0, xx2 - xx1) * max(0, yy2 - yy1)
+    ua = ((a[2] - a[0]) * (a[3] - a[1])
+          + (b[2] - b[0]) * (b[3] - b[1]) - inter)
+    return inter / ua
+
+
+@pytest.fixture(scope="module")
+def hopper():
+    return np.asarray(Image.open(
+        os.path.join(DATA, "grace_hopper.jpg")).convert("RGB"))
+
+
+def test_shipped_template_detects_real_face(hopper):
+    """A default-constructed detector (shipped artifact auto-loaded) must
+    localize the real face."""
+    from columbiaimagesearch_tpu.models.face_detector import (
+        ConvHOGFaceDetector,
+    )
+
+    det = ConvHOGFaceDetector()
+    assert det._load_default() is not None, (
+        "face_template.npz artifact missing - run "
+        "scripts/train_face_template.py")
+    dets = det.detect_from_img(hopper, up_sample=0)
+    assert dets, "no face detected in the real photo"
+    best = max(_iou((d["left"], d["top"], d["right"], d["bottom"]),
+                    HOPPER_BBOX) for d in dets)
+    assert best >= 0.4, f"best IoU {best:.2f} vs annotation"
+
+
+def test_face_pipeline_on_real_photo(hopper):
+    """detect -> align/crop -> embed on the real photo; embeddings are
+    finite, unit-scale-ish, and deterministic."""
+    from columbiaimagesearch_tpu.extraction.detector import get_detector
+    from columbiaimagesearch_tpu.extraction.extractor import get_featurizer
+
+    det = get_detector("face")
+    bboxes = det.detect_from_img(hopper)
+    assert bboxes, "pipeline detector found no face"
+    feat = get_featurizer("face")
+    embs = np.asarray(feat.featurize_batch(hopper, bboxes))
+    assert embs.shape[1] == 128 and np.isfinite(embs).all()
+    embs2 = np.asarray(feat.featurize_batch(hopper, bboxes))
+    np.testing.assert_array_equal(embs, embs2)
+
+
+def test_same_face_crops_closer_than_background(hopper):
+    """Metric sanity: two jittered crops of the same real face embed closer
+    together than the face does to non-face crops of the same photo."""
+    from columbiaimagesearch_tpu.extraction.extractor import get_featurizer
+
+    l, t, r, b = HOPPER_BBOX
+    feat = get_featurizer("face")
+
+    def emb(bbox):
+        e = np.asarray(feat.featurize_batch(
+            hopper, [{"left": bbox[0], "top": bbox[1], "right": bbox[2],
+                      "bottom": bbox[3], "score": 1.0}]))[0]
+        return e / (np.linalg.norm(e) + 1e-30)
+
+    face_a = emb((l, t, r, b))
+    face_b = emb((l + 10, t + 8, r + 10, b + 8))      # jittered same face
+    bg_flag = emb((0, 0, 150, 320))                    # flag region
+    bg_uniform = emb((150, 420, 360, 595))             # uniform/medals
+
+    d_same = np.linalg.norm(face_a - face_b)
+    d_bg = min(np.linalg.norm(face_a - bg_flag),
+               np.linalg.norm(face_a - bg_uniform))
+    assert d_same < d_bg, (d_same, d_bg)

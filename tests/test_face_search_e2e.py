@@ -108,3 +108,22 @@ def test_face_query_end_to_end(face_env):
     # detect_only option short-circuits featurization/search
     out2 = searcher.search_image_path_list([paths[7]], {"detect_only": True})
     assert out2["AllSimilarFaces"][0]["SimilarFaces"]["NumberFaces"] == 0
+
+
+def test_face_view_similar_bbox_overlay(face_env):
+    """view_similar in face mode draws canvas bbox overlays
+    (reference: www/templates/view_similar_faces_wbbox.html)."""
+    from columbiaimagesearch_tpu.api.app import SearchAPI
+
+    searcher, kv, paths, rng = face_env
+    api = SearchAPI(searcher, input_type="face")
+    code, html = api.process("view_similar_byPATH", paths[7],
+                             '{"max_returned": 2}')
+    assert code == 200 and html.startswith("<html>")
+    assert "drawFace(" in html and "<canvas" in html
+    assert "blur(8px)" in html  # blurred by default like the reference
+    # bbox numbers make it into the draw calls
+    assert "strokeStyle='#ff0000'" in html
+    code, html2 = api.process("view_similar_byPATH", paths[7],
+                              '{"no_blur": true}')
+    assert "blur(8px)" not in html2

@@ -77,7 +77,7 @@ def test_memory_bus_journal_resume(tmp_path):
         bus2.publish("t", {"i": i})
     got2 = [m["i"] for m in MemoryBusIngester(bus2, "t", "g").get_msg_json()]
     assert got2 == [5, 6, 7]
-    assert json.load(open(journal))["offsets"]["t:g"] == 8
+    assert MemoryBus(journal_path=journal).offsets["t:g"] == 8
 
 
 def test_xvecs_roundtrip(tmp_path):
@@ -102,3 +102,35 @@ def test_kafka_kinesis_backends_gated():
         KafkaIngester("t", "localhost:9092")
     with _pytest.raises(ImportError, match="boto3"):
         KinesisPusher("s")
+
+
+def test_memory_bus_journal_scales_and_compacts(tmp_path):
+    """Append-only journal: 20k messages must ingest in seconds (the old
+    rewrite-whole-file implementation was O(N^2)), survive a crash-restart,
+    and compaction must preserve state."""
+    import time as _time
+
+    from columbiaimagesearch_tpu.pipeline.ingest import MemoryBus
+
+    journal = str(tmp_path / "bus.jsonl")
+    bus = MemoryBus(journal_path=journal)
+    n = 20000
+    t0 = _time.time()
+    for i in range(n):
+        bus.publish("imgs", {"sha1": f"h{i}"})
+    assert _time.time() - t0 < 20.0  # old impl: minutes
+
+    got = 0
+    for _ in bus.consume("imgs", "g1"):
+        got += 1
+        if got == 12345:
+            break
+    # "crash": new bus instance from the journal resumes at the offset
+    bus2 = MemoryBus(journal_path=journal)
+    rest = sum(1 for _ in bus2.consume("imgs", "g1"))
+    assert rest == n - 12345
+
+    bus2.compact()
+    bus3 = MemoryBus(journal_path=journal)
+    assert sum(1 for _ in bus3.consume("imgs", "g1")) == 0  # all consumed
+    assert sum(1 for _ in bus3.consume("imgs", "g2")) == n  # fresh group

@@ -260,3 +260,69 @@ def test_update_ids_unique_across_restarts(tmp_path):
     seqs1 = {u.rsplit("-", 2)[0] for u in ids1}  # strip -pp-time suffix
     seqs2 = {u.rsplit("-", 2)[0] for u in ids2}
     assert not (seqs1 & seqs2)
+
+
+def test_concurrent_serving(pipeline_env):
+    """N parallel clients against one device-resident searcher: all queries
+    must succeed and return the same results as serial execution (the role
+    of the reference's gunicorn multi-worker serving,
+    api/gunicorn_api.py:21-75, played by the threaded server + device
+    batching)."""
+    from urllib.parse import urlencode
+
+    kv, _, _, searcher, _, _, paths, _ = pipeline_env
+    server = make_server(searcher, endpoint="cuimgsearch", port=0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        def query(path):
+            qs = urlencode({"data": path, "options": '{"max_returned":3}'})
+            url = f"http://127.0.0.1:{port}/cuimgsearch/byPATH?{qs}"
+            with urllib.request.urlopen(url, timeout=120) as r:
+                return r.status, json.loads(r.read())
+
+        targets = [paths[i] for i in (3, 11, 27, 42, 55, 60, 7, 33)]
+        serial = {p: query(p) for p in targets}
+
+        results = {}
+        errs = []
+
+        def worker(p):
+            try:
+                results[p] = query(p)
+            except Exception as inst:  # pragma: no cover - failure reporting
+                errs.append((p, inst))
+
+        threads = [threading.Thread(target=worker, args=(p,))
+                   for p in targets * 2]  # 16 concurrent requests
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        assert not errs, errs
+        for p in targets:
+            code, d = results[p]
+            scode, sd = serial[p]
+            assert code == scode == 200
+            a = d["AllSimilarImages"][0]["SimilarImages"]["ImageSha1s"]
+            b = sd["AllSimilarImages"][0]["SimilarImages"]["ImageSha1s"]
+            assert a == b, p
+    finally:
+        server.shutdown()
+
+
+def test_view_similar_html(pipeline_env):
+    """view_similar_byPATH renders HTML; blurred by default, unblurred with
+    no_blur (reference template view_similar_images.html blur CSS)."""
+    from columbiaimagesearch_tpu.api.app import SearchAPI
+
+    kv, _, _, searcher, _, _, paths, _ = pipeline_env
+    api = SearchAPI(searcher)
+    code, html = api.process("view_similar_byPATH", paths[5],
+                             '{"max_returned": 2}')
+    assert code == 200 and html.startswith("<html>")
+    assert "blur(8px)" in html  # blur by default, like the reference
+    code, html2 = api.process("view_similar_byPATH", paths[5],
+                              '{"max_returned": 2, "no_blur": true}')
+    assert code == 200 and "blur(8px)" not in html2
+    assert "<img class='sim'" in html2

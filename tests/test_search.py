@@ -160,3 +160,46 @@ def test_dedup_first_mask_empty_and_unique():
     assert dedup_first_mask(np.zeros(0, np.int64), []).shape == (0,)
     m = dedup_first_mask(np.array([1, 2, 3]), ["a", "b", "a"])
     assert m.all()  # same id in different cells is NOT a duplicate
+
+
+def test_tpu_searcher_incremental_dedup_across_refreshes():
+    """(cell, id) duplicates arriving in LATER refreshes must be dropped
+    (first insertion wins), and appends must not disturb earlier results."""
+    from columbiaimagesearch_tpu.index.searcher import LOPQSearcherTPU
+
+    rs = np.random.RandomState(3)
+    model = LOPQModel(parameters=random_params(rs, V=8, M=4, S=16, D=32))
+    X = rs.randn(300, 32).astype(np.float32)
+    coarse, fine = model.predict_batch(X)
+
+    s = LOPQSearcherTPU(model)
+    ids1 = [f"id{i}" for i in range(200)]
+    s.add_codes((coarse[:200], fine[:200]), ids1)
+    assert s.get_nb_indexed() == 200  # forces first pack
+
+    # second refresh: 100 new + 50 exact duplicates of the first batch
+    ids2 = [f"id{i}" for i in range(200, 300)] + ids1[:50]
+    s.add_codes((np.concatenate([coarse[200:], coarse[:50]]),
+                 np.concatenate([fine[200:], fine[:50]])), ids2)
+    assert s.get_nb_indexed() == 300  # dups dropped
+
+    # same id in a DIFFERENT cell is not a duplicate
+    other = np.nonzero((coarse[:, 0] != coarse[0, 0])
+                       | (coarse[:, 1] != coarse[0, 1]))[0][0]
+    s.add_codes((coarse[other:other + 1], fine[other:other + 1]), ["id0"])
+    assert s.get_nb_indexed() == 301
+
+    # results after all refreshes match the host parity searcher fed the
+    # same insertion sequence (ids resolve through the device order map)
+    host = LOPQSearcher(model)
+    host.add_codes((coarse[:200], fine[:200]), ids1)
+    host.add_codes((np.concatenate([coarse[200:], coarse[:50]]),
+                    np.concatenate([fine[200:], fine[:50]])), ids2)
+    host.add_codes((coarse[other:other + 1], fine[other:other + 1]), ["id0"])
+    assert host.get_nb_indexed() == 301
+    for q in range(4):
+        res, _ = s.search(X[q], quota=300, limit=5, with_dists=True)
+        res_h, _ = host.search(X[q], quota=300, limit=5, with_dists=True)
+        assert [r.id for r in res] == [r.id for r in res_h]
+        np.testing.assert_allclose([r.dist for r in res],
+                                   [r.dist for r in res_h], rtol=1e-4)
