@@ -216,16 +216,22 @@ def bench_searcher(args):
     p50 = float(np.median(per_wave))
 
     # Incremental append -> repack -> search (the load_codes refresh cost).
-    key, ka = jax.random.split(key)
-    extra = np.asarray(make(10240, ka))
-    co2, fi2 = searcher.model.predict_batch(extra)
-    s = time.perf_counter()
-    searcher.searcher.add_codes((co2, fi2),
-                                ids=[f"new_{i}" for i in range(len(co2))])
-    _, dt_inc = one_wave(key)
-    inc_s = time.perf_counter() - s
-    log(f"[{time.time()-t0:.1f}s] incremental append 10k + repack + "
-        f"wave: {inc_s:.2f}s (search wave itself {dt_inc:.2f}s)")
+    # Two rounds: the first may compile the append program; the second is
+    # the steady-state refresh cost reported to the driver.
+    inc_s = None
+    for round_i in range(2):
+        key, ka = jax.random.split(key)
+        extra = np.asarray(make(8000, ka))
+        co2, fi2 = searcher.model.predict_batch(extra)
+        s = time.perf_counter()
+        searcher.searcher.add_codes(
+            (co2, fi2),
+            ids=[f"new{round_i}_{i}" for i in range(len(co2))])
+        _, dt_inc = one_wave(key)
+        inc_s = time.perf_counter() - s
+        log(f"[{time.time()-t0:.1f}s] incremental append 8k round "
+            f"{round_i}: repack+wave {inc_s:.2f}s "
+            f"(search wave itself {dt_inc:.2f}s)")
 
     baseline_ms = 10.0
     print(json.dumps({
@@ -236,6 +242,55 @@ def bench_searcher(args):
         "extra": {"pack_s": round(pack_s, 2),
                   "incremental_refresh_s": round(inc_s, 2),
                   "nb_indexed": int(searcher.get_nb_indexed())},
+    }))
+
+
+def bench_extraction_e2e(args, n_images=512, reps=3):
+    """HONEST end-to-end extraction: encoded JPEG buffers ->
+    GenericExtractor.process_batch (native parallel decode + resize ->
+    fused device preprocess -> bf16 forward -> b64-encoded feature columns)
+    -> images/sec. Includes host decode + feature encode, unlike the
+    device-only figure in --mode extraction. NB: this container has 1 CPU
+    core; host decode scales with cores in production (docs/BENCHMARKS.md)."""
+    import io
+
+    from PIL import Image
+
+    from columbiaimagesearch_tpu.extraction import GenericExtractor
+
+    rng = np.random.RandomState(0)
+    bufs = []
+    for i in range(n_images):
+        img = rng.randint(0, 255, (480, 640, 3), dtype=np.uint8)
+        b = io.BytesIO()
+        Image.fromarray(img).save(b, format="JPEG", quality=85)
+        bufs.append(b.getvalue())
+    log(f"prepared {n_images} JPEG buffers (640x480)")
+
+    from columbiaimagesearch_tpu.models.sentibank import SentibankFeaturizer
+
+    extractor = GenericExtractor(
+        "full", "sentibank",
+        featurizer=SentibankFeaturizer(compute_dtype="bfloat16"))
+    out = extractor.process_batch(bufs[:8])  # warm-up/compile
+    assert out[0].get(extractor.extr_str_processed) == "1", out[0]
+
+    rates = []
+    for i in range(reps):
+        s = time.perf_counter()
+        outs = extractor.process_batch(bufs)
+        dt = time.perf_counter() - s
+        ok = sum(1 for o in outs if o.get(extractor.extr_str_processed))
+        rates.append(ok / dt)
+        log(f"e2e rep {i}: {ok}/{n_images} ok, {ok/dt:.1f} img/s "
+            f"({dt:.2f}s)")
+    rate = float(np.median(rates))
+    baseline = 5000.0  # BASELINE.md device-rate north star, for reference
+    print(json.dumps({
+        "metric": "extraction_e2e_jpeg_to_features",
+        "value": round(rate, 1),
+        "unit": "images/sec (1 host core + 1 chip)",
+        "vs_baseline": round(rate / baseline, 3),
     }))
 
 
@@ -251,15 +306,21 @@ def main():
     ap.add_argument("--limit", type=int, default=100)
     ap.add_argument("--batches", type=int, default=5)
     ap.add_argument("--queries-per-batch", type=int, default=20)
-    ap.add_argument("--mode", choices=["query", "extraction", "searcher"],
+    ap.add_argument("--mode",
+                    choices=["query", "extraction", "extraction-e2e",
+                             "searcher"],
                     default="query",
                     help="query: p50 ADC latency (headline); extraction: "
-                         "Sentibank images/sec/chip; searcher: e2e p50 "
-                         "through the production SearcherLOPQ class")
+                         "device-path Sentibank images/sec/chip; "
+                         "extraction-e2e: encoded JPEGs -> process_batch -> "
+                         "img/s; searcher: e2e p50 through the production "
+                         "SearcherLOPQ class")
     args = ap.parse_args()
 
     if args.mode == "extraction":
         return bench_extraction(args)
+    if args.mode == "extraction-e2e":
+        return bench_extraction_e2e(args)
     if args.mode == "searcher":
         return bench_searcher(args)
 

@@ -134,3 +134,32 @@ def test_memory_bus_journal_scales_and_compacts(tmp_path):
     bus3 = MemoryBus(journal_path=journal)
     assert sum(1 for _ in bus3.consume("imgs", "g1")) == 0  # all consumed
     assert sum(1 for _ in bus3.consume("imgs", "g2")) == n  # fresh group
+
+
+def test_kvindexer_scan_scales(tmp_path):
+    """Update scans must page in O(page), not O(table): sweep 60k update
+    rows in pages of 500 within seconds (reference scans millions of HBase
+    update rows the same way, hbase_indexer_minimal.py:370-421)."""
+    import time as _time
+
+    kv = KVIndexer(path=str(tmp_path / "scale.db"))
+    conn = kv._conn()
+    rows = []
+    for i in range(60000):
+        key = f"index_update_x_feat_full_image_2026-01-01_{i:07d}"
+        rows.append(("updates", key, "info:list_sha1s", b"a,b"))
+        rows.append(("updates", key, "info:created", b"1"))
+    with kv._lock:
+        conn.executemany(
+            "INSERT OR REPLACE INTO kv (tbl,row,col,val) VALUES (?,?,?,?)",
+            rows)
+        conn.commit()
+
+    t0 = _time.time()
+    n = 0
+    for batch in kv.get_updates_from_date(
+            "1970-01-01", extr_type="x_feat_full_image", maxrows=500):
+        n += len(batch)
+    dt = _time.time() - t0
+    assert n == 60000
+    assert dt < 10.0, f"full sweep took {dt:.1f}s"  # O(N^2) shape: minutes
