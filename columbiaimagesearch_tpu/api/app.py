@@ -253,6 +253,68 @@ class SearchAPI:
         return "".join(parts)
 
 
+def wsgi_app(searcher, endpoint="cuimgsearch", input_type="image"):
+    """WSGI application serving ``/<endpoint>/<mode>`` — the reference's
+    gunicorn entry point role (reference: api/gunicorn_api.py:21-75,
+    www/run_search_api.py:34-66). Works under any WSGI server
+    (``gunicorn 'module:app'`` with ``app = wsgi_app(searcher)``); unlike
+    the reference's per-worker searcher copies, one device-resident
+    searcher serves every worker thread (device batching replaces worker
+    processes)."""
+    import json as _json
+    from urllib.parse import parse_qs
+
+    api = SearchAPI(searcher, input_type=input_type)
+    prefix = "/" + endpoint.strip("/") + "/"
+
+    def app(environ, start_response):
+        path = environ.get("PATH_INFO", "")
+        if not path.startswith(prefix):
+            body = _json.dumps({"error": "unknown endpoint"}).encode()
+            start_response("404 Not Found",
+                           [("Content-Type", "application/json"),
+                            ("Content-Length", str(len(body)))])
+            return [body]
+        mode = path[len(prefix):].strip("/")
+        params = parse_qs(environ.get("QUERY_STRING", ""))
+        data = params.get("data", [None])[0]
+        options = params.get("options", [None])[0]
+        try:
+            length = int(environ.get("CONTENT_LENGTH") or 0)
+        except ValueError:
+            length = 0
+        if length and environ.get("REQUEST_METHOD") in ("POST", "PUT"):
+            raw = environ["wsgi.input"].read(length).decode()
+            ctype = environ.get("CONTENT_TYPE", "")
+            form = {}
+            if "json" in ctype:
+                form = _json.loads(raw)
+            elif raw:
+                form = {k: v[0] for k, v in parse_qs(raw).items()}
+                if not form:
+                    try:
+                        form = _json.loads(raw)
+                    except Exception:
+                        form = {}
+            data = form.get("data", data)
+            options = form.get("options", options)
+            if isinstance(options, (dict, list)):
+                options = _json.dumps(options)
+        code, payload = api.process(mode, data, options)
+        is_html = isinstance(payload, str)
+        body = (payload if is_html else _json.dumps(payload)).encode()
+        status = {200: "200 OK", 400: "400 Bad Request",
+                  404: "404 Not Found"}.get(code, "500 Internal Server Error")
+        start_response(status,
+                       [("Content-Type",
+                         "text/html" if is_html else "application/json"),
+                        ("Content-Length", str(len(body)))])
+        return [body]
+
+    app.api = api
+    return app
+
+
 def make_server(searcher, endpoint="cuimgsearch", port=5000, host="127.0.0.1",
                 input_type="image"):
     """Build a ThreadingHTTPServer serving ``/<endpoint>/<mode>``."""

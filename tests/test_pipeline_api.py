@@ -326,3 +326,53 @@ def test_view_similar_html(pipeline_env):
                               '{"max_returned": 2, "no_blur": true}')
     assert code == 200 and "blur(8px)" not in html2
     assert "<img class='sim'" in html2
+
+
+def test_wsgi_app(pipeline_env):
+    """The WSGI adapter serves the same modes under any WSGI server
+    (reference gunicorn role, api/gunicorn_api.py:21-75)."""
+    from wsgiref.util import setup_testing_defaults
+
+    from columbiaimagesearch_tpu.api.app import wsgi_app
+
+    kv, _, _, searcher, _, _, paths, _ = pipeline_env
+    app = wsgi_app(searcher)
+    state = {}
+
+    def start_response(status, headers):
+        state["status"] = status
+        state["headers"] = dict(headers)
+
+    def call(path, qs="", method="GET", body=b"", ctype=""):
+        environ = {}
+        setup_testing_defaults(environ)
+        environ.update({"PATH_INFO": path, "QUERY_STRING": qs,
+                        "REQUEST_METHOD": method,
+                        "CONTENT_LENGTH": str(len(body)),
+                        "CONTENT_TYPE": ctype})
+        if body:
+            environ["wsgi.input"] = io.BytesIO(body)
+        out = b"".join(app(environ, start_response))
+        return state["status"], out
+
+    status, out = call("/cuimgsearch/status")
+    assert status == "200 OK" and json.loads(out)["status"] == "OK"
+
+    from urllib.parse import urlencode
+
+    status, out = call("/cuimgsearch/byPATH",
+                       qs=urlencode({"data": paths[3],
+                                     "options": '{"max_returned":2}'}))
+    d = json.loads(out)
+    assert status == "200 OK" and d["NumberImages"] == 1
+    assert d["AllSimilarImages"][0]["SimilarImages"]["ImageSha1s"]
+
+    # POST form body
+    body = urlencode({"data": paths[4],
+                      "options": '{"max_returned":1}'}).encode()
+    status, out = call("/cuimgsearch/byPATH", method="POST", body=body,
+                       ctype="application/x-www-form-urlencoded")
+    assert status == "200 OK" and json.loads(out)["NumberImages"] == 1
+
+    status, out = call("/nope/status")
+    assert status.startswith("404")
