@@ -141,13 +141,41 @@ class MemoryBusIngester(GenericIngester):
 
 
 class LocalDirIngester(GenericIngester):
-    """Walk a directory; one message per (new) image file."""
+    """Walk a directory; one message per (new) image file.
+
+    ``source_archive`` (a local .zip/.tar[.gz/.bz2]) is extracted into the
+    root on first use — the dataset-bootstrap role of the reference's
+    LocalImagePusher source_zip (reference: pusher/local_images_pusher.py:
+    208-216; the download half is out of scope on a no-egress box, so the
+    archive must already be local).
+    """
 
     IMG_EXTS = (".jpg", ".jpeg", ".png", ".gif", ".bmp", ".webp")
 
-    def __init__(self, root, seen=None):
+    def __init__(self, root, seen=None, source_archive=None):
         self.root = root
         self.seen = seen if seen is not None else set()
+        if source_archive:
+            self._extract(source_archive)
+
+    def _extract(self, archive):
+        os.makedirs(self.root, exist_ok=True)
+        marker = os.path.join(
+            self.root, "." + os.path.basename(archive) + ".extracted")
+        if os.path.exists(marker):
+            return
+        if archive.endswith(".zip"):
+            import zipfile
+
+            with zipfile.ZipFile(archive) as z:
+                z.extractall(self.root)
+        else:
+            import tarfile
+
+            with tarfile.open(archive) as t:
+                t.extractall(self.root)
+        with open(marker, "w") as f:
+            f.write("ok")
 
     def get_msg_json(self):
         for dirpath, _, files in os.walk(self.root):
