@@ -87,6 +87,60 @@ def init_params(seed: int = 0):
     return model.init(jax.random.PRNGKey(seed), dummy)["params"]
 
 
+def default_weights_path():
+    """$FACE_WEIGHTS or ``<package>/models/weights/face.npz`` (the role of
+    the reference's dlib model auto-download,
+    featurizer/dlib_featurizer.py:1-47; no egress here — drop converted or
+    self-trained weights into place once)."""
+    import os
+
+    env = os.environ.get("FACE_WEIGHTS")
+    if env:
+        return env
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "weights", "face.npz")
+
+
+def _flatten(tree, prefix=""):
+    out = {}
+    for k, v in tree.items():
+        key = f"{prefix}{k}" if not prefix else f"{prefix}.{k}"
+        if isinstance(v, dict):
+            out.update(_flatten(v, key))
+        else:
+            out[key] = np.asarray(v)
+    return out
+
+
+def save_weights_npz(params, path):
+    """Persist the (nested) Flax params as a flat npz."""
+    import os
+
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    np.savez(path, **_flatten(params))
+
+
+def load_weights_npz(path):
+    with np.load(path) as z:
+        params = {}
+        for key in z.files:
+            node = params
+            parts = key.split(".")
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = jnp.asarray(z[key])
+    return params
+
+
+def load_default_weights():
+    import os
+
+    path = default_weights_path()
+    if path and os.path.exists(path):
+        return load_weights_npz(path)
+    return None
+
+
 def extract_chip(img, bbox, padding: float = 0.25):
     """Cut a face chip from a bbox dict with dlib-style context padding and
     resize to 150x150 (host-side; the alignment role of dlib's
@@ -125,6 +179,9 @@ class FaceEmbedder:
         """:param aligner: optional FaceAligner (models.face_align) — when
         set, chips are landmark-aligned like the reference's dlib pipeline
         instead of padded bbox crops."""
+        if params is None:
+            params = load_default_weights()
+        self.pretrained = params is not None
         self.params = params if params is not None else init_params(seed)
         self.aligner = aligner
 

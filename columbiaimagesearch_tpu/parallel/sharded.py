@@ -124,13 +124,18 @@ class ShardedLOPQIndex:
         ids_sh = np.empty((n_dev, per), dtype=object)
         ids_sh.fill(None)
 
-        for d in range(n_dev):
-            rows = np.arange(d, n, n_dev)
-            cn = len(rows)
-            codes_sh[d, :cn] = fine[rows]
-            ids_sh[d, :cn] = ids_arr[rows]
-            counts = np.bincount(cells[rows], minlength=V * V)
-            np.cumsum(counts, out=starts_sh[d, 1:])
+        # Vectorized round-robin deal: row i -> shard i % n_dev, slot
+        # i // n_dev. One scatter for codes/ids and one 2-d bincount for the
+        # per-shard CSR offsets (no per-device Python pass over the rows).
+        if n:
+            shard_of = np.arange(n) % n_dev
+            slot_of = np.arange(n) // n_dev
+            codes_sh[shard_of, slot_of] = fine
+            ids_sh[shard_of, slot_of] = ids_arr
+            counts = np.bincount(shard_of * (V * V) + cells,
+                                 minlength=n_dev * V * V)
+            counts = counts.reshape(n_dev, V * V)
+            starts_sh[:, 1:] = np.cumsum(counts, axis=1)
             # Padding rows sit past cell_start[-1], never probed.
 
         sh = NamedSharding(self.mesh, P(SHARD_AXIS))

@@ -91,3 +91,34 @@ def test_same_face_crops_closer_than_background(hopper):
     d_bg = min(np.linalg.norm(face_a - bg_flag),
                np.linalg.norm(face_a - bg_uniform))
     assert d_same < d_bg, (d_same, d_bg)
+
+
+def test_face_weights_persistence_and_autoload(tmp_path, monkeypatch, hopper):
+    """Weight path for the face embedder: npz round trip + auto-load from
+    the conventional path (the dlib model auto-download role,
+    featurizer/dlib_featurizer.py:1-47)."""
+    from columbiaimagesearch_tpu.models.face import (
+        FaceEmbedder,
+        init_params,
+        load_weights_npz,
+        save_weights_npz,
+    )
+
+    params = init_params(7)
+    path = str(tmp_path / "face.npz")
+    save_weights_npz(params, path)
+    loaded = load_weights_npz(path)
+
+    bbox = {"left": 175, "top": 140, "right": 360, "bottom": 380,
+            "score": 1.0}
+    a = FaceEmbedder(params=params).featurize(hopper, bbox)
+    b = FaceEmbedder(params=loaded).featurize(hopper, bbox)
+    np.testing.assert_array_equal(a, b)
+
+    monkeypatch.setenv("FACE_WEIGHTS", path)
+    emb = FaceEmbedder()
+    assert emb.pretrained
+    np.testing.assert_array_equal(emb.featurize(hopper, bbox), a)
+
+    monkeypatch.setenv("FACE_WEIGHTS", str(tmp_path / "missing.npz"))
+    assert not FaceEmbedder().pretrained
