@@ -159,15 +159,33 @@ class SearchAPI:
 
     def view_image_sha1(self, query):
         """HTML page showing the stored image(s) for sha1(s)
-        (reference: api/api.py view_image_sha1 mode)."""
+        (reference: api/api.py view_image_sha1 mode). Rows holding a stored
+        image buffer are embedded as a base64 data URI like the reference's
+        HTML rendering (api/api.py:410-538); otherwise the stored URL is
+        used."""
+        import base64
+
         sha1s = query.split(",")
+        buff_col = self.searcher.indexer.get_col_imgbuff() \
+            if self.searcher.indexer is not None else None
         rows = self.searcher.indexer.get_columns_from_sha1_rows(
-            sha1s, columns=[self.searcher.img_column])
+            sha1s, columns=[self.searcher.img_column, buff_col])
         cells = []
         for row in rows:
-            val = row[1].get(self.searcher.img_column, b"")
-            url = val.decode() if isinstance(val, bytes) else val
-            cells.append(f"<td><img src='{url}' height='200'/><br/>{row[0]}"
+            buf = row[1].get(buff_col)
+            if buf:
+                if isinstance(buf, str):
+                    buf = buf.encode()
+                try:  # stored buffers may already be b64 text
+                    base64.b64decode(buf, validate=True)
+                    b64 = buf.decode()
+                except Exception:
+                    b64 = base64.b64encode(buf).decode()
+                src = f"data:image;base64,{b64}"
+            else:
+                val = row[1].get(self.searcher.img_column, b"")
+                src = val.decode() if isinstance(val, bytes) else val
+            cells.append(f"<td><img src='{src}' height='200'/><br/>{row[0]}"
                          "</td>")
         return ("<html><body><table><tr>" + "".join(cells)
                 + "</tr></table></body></html>")

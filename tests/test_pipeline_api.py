@@ -376,3 +376,33 @@ def test_wsgi_app(pipeline_env):
 
     status, out = call("/nope/status")
     assert status.startswith("404")
+
+
+def test_view_image_sha1_embeds_buffer(pipeline_env):
+    """Stored image buffers render as base64 data URIs
+    (reference api/api.py:410-538 B64 embedding)."""
+    import base64
+
+    from columbiaimagesearch_tpu.api.app import SearchAPI
+    from columbiaimagesearch_tpu.imgio.imgio import (
+        get_buffer_from_filepath,
+        get_SHA1_from_buffer,
+    )
+
+    kv, _, _, searcher, _, _, paths, _ = pipeline_env
+    api = SearchAPI(searcher)
+    buf = get_buffer_from_filepath(paths[0])
+    sha1 = get_SHA1_from_buffer(buf)
+
+    # URL-only row -> plain src
+    code, html = api.process("view_image_sha1", sha1)
+    assert code == 200 and sha1 in html and "data:image" not in html
+
+    # add a stored buffer -> data URI
+    buf.seek(0)
+    kv.push_dict_rows(
+        {sha1: {kv.get_col_imgbuff():
+                base64.b64encode(buf.read()).decode()}},
+        kv.table_sha1infos_name)
+    code, html = api.process("view_image_sha1", sha1)
+    assert code == 200 and "data:image;base64," in html
