@@ -294,6 +294,48 @@ def bench_extraction_e2e(args, n_images=512, reps=3):
     }))
 
 
+def bench_train(args):
+    """LOPQ training throughput: fit the production config (V=4096, M=8,
+    S=256) on --train-size synthetic vectors and report wall-clock. The
+    reference trains with sklearn MiniBatchKMeans on CPU over hours
+    (searcher_lopqhbase.py:397-474 with nb_train=2M); this is the exact
+    full-batch Lloyd pipeline on one chip."""
+    import jax
+    import jax.numpy as jnp
+
+    from columbiaimagesearch_tpu.index.model import LOPQModel
+
+    log(f"devices: {jax.devices()}")
+    n_comp = 256
+    key = jax.random.PRNGKey(0)
+    key, k1, k2 = jax.random.split(key, 3)
+    comp = jax.random.normal(k1, (n_comp, args.dim), dtype=jnp.float32)
+    comp = comp / jnp.linalg.norm(comp, axis=1, keepdims=True)
+    which = jax.random.randint(k2, (args.train_size,), 0, n_comp)
+    key, k3 = jax.random.split(key)
+    noise = jax.random.normal(k3, (args.train_size, args.dim),
+                              dtype=jnp.float32)
+    train = np.asarray(comp[which] + 0.3 * noise)
+    log(f"training LOPQ V={args.V} M={args.M} on {args.train_size} vectors")
+
+    s = time.perf_counter()
+    model = LOPQModel(V=args.V, M=args.M, subquantizer_clusters=256)
+    model.fit(train, kmeans_coarse_iters=10, kmeans_local_iters=10,
+              n_init=1, random_state=0)
+    fit_s = time.perf_counter() - s
+    # quick sanity: encode + reconstruct error finite
+    co, fi = model.predict_batch(train[:1024])
+    assert co.shape == (1024, 2) and fi.shape == (1024, args.M)
+    log(f"fit in {fit_s:.1f}s "
+        f"({args.train_size / fit_s:.0f} vectors/s through full LOPQ fit)")
+    print(json.dumps({
+        "metric": f"lopq_fit_seconds_{args.train_size // 1000}k_V{args.V}",
+        "value": round(fit_s, 1),
+        "unit": "seconds",
+        "vs_baseline": None,
+    }))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--index-size", type=int, default=10 * (1 << 20))
@@ -308,7 +350,7 @@ def main():
     ap.add_argument("--queries-per-batch", type=int, default=20)
     ap.add_argument("--mode",
                     choices=["query", "extraction", "extraction-e2e",
-                             "searcher"],
+                             "searcher", "train"],
                     default="query",
                     help="query: p50 ADC latency (headline); extraction: "
                          "device-path Sentibank images/sec/chip; "
@@ -323,6 +365,8 @@ def main():
         return bench_extraction_e2e(args)
     if args.mode == "searcher":
         return bench_searcher(args)
+    if args.mode == "train":
+        return bench_train(args)
 
     import jax
     import jax.numpy as jnp

@@ -74,12 +74,21 @@ def dp_encode(mesh, Cs, Rs, mus, subs, X, chunk: int = 2048):
 
 
 class ShardedLOPQIndex:
-    """Row-sharded CSR multi-index over a device mesh.
+    """Row-sharded CSR multi-index over a device mesh, with device-side
+    incremental append.
 
-    Each shard holds an interleaved slice of the (cell-sorted) codes with its
-    own CSR offsets; a query executes the single-chip fused kernel on all
-    shards under shard_map and all_gathers the per-shard top-k.
+    Rows are dealt round-robin by global insertion index (row g lives on
+    shard ``g % n_dev`` at slot ``g // n_dev``), kept in capacity-padded
+    per-shard buffers in insertion order. Each refresh uploads ONLY the new
+    rows; every shard re-sorts its slice and rebuilds its CSR offsets
+    in-shard under one shard_map (no cross-device traffic — the same
+    device-first refresh design as the single-chip LOPQSearcherTPU). A
+    query executes the fused kernel on all shards simultaneously and
+    all_gathers the per-shard top-k.
     """
+
+    #: appended per-shard chunks are sentinel-padded to this multiple
+    CHUNK_QUANTUM = 1024
 
     def __init__(self, model, mesh=None, probe_width=None):
         self.model = model
@@ -88,70 +97,166 @@ class ShardedLOPQIndex:
             raise ValueError(f"index mesh axis must be '{SHARD_AXIS}'")
         self.probe_width = probe_width
         self.nb_indexed = 0
-        self._ids = None          # [n_dev, per] host object array
+        self._ids = None          # [n] host object array, insertion order
+        self._cells_host = None   # [n] int64, insertion order (rebuilds)
+        self._fine_host = None    # [n, M] uint8
+        self._buf_cells = None    # device [n_dev, cap_per] int32
+        self._buf_fine = None     # device [n_dev, cap_per, M] uint8
+        self._cap_per = 0
+        self._n_dev_rows = 0      # rows present in device buffers
         self._dev = None
         self._qfns = {}
 
     # ------------------------------------------------------------- building
 
-    def build(self, coarse, fine, ids=None):
-        """Pack codes into per-shard CSR layouts and upload.
+    def _fns(self, V, cap_per, kq, M):
+        """Compiled shard_map append+build, cached per static config."""
+        key = ("append", V, cap_per, kq, M)
+        cached = self._qfns.get(key)
+        if cached is not None:
+            return cached
+        mesh = self.mesh
+        sentinel = V * V
 
-        Rows are sorted by cell then dealt round-robin to shards, so every
-        shard sees a balanced slice of every hot cell.
-        """
+        def shard_append(buf_c, buf_f, chunk_c, chunk_f, offset):
+            # Per-shard views: buf_c [1, cap], buf_f [1, cap, M],
+            # chunk_c [1, kq], chunk_f [1, kq, M], offset [1, 1].
+            bc = jax.lax.dynamic_update_slice(buf_c[0], chunk_c[0],
+                                              (offset[0, 0],))
+            bf = jax.lax.dynamic_update_slice(
+                buf_f[0], chunk_f[0], (offset[0, 0], jnp.int32(0)))
+            order = jnp.argsort(bc, stable=True).astype(jnp.int32)
+            codes = bf[order]
+            real = (bc < sentinel).astype(jnp.int32)
+            counts = jnp.zeros(sentinel, jnp.int32).at[
+                jnp.minimum(bc, sentinel - 1)].add(real)
+            cell_start = jnp.concatenate(
+                [jnp.zeros((1,), jnp.int32),
+                 jnp.cumsum(counts).astype(jnp.int32)])
+            return (bc[None], bf[None], codes[None], cell_start[None],
+                    order[None])
+
+        fn = jax.jit(jax.shard_map(
+            shard_append, mesh=mesh,
+            in_specs=(P(SHARD_AXIS),) * 5,
+            out_specs=(P(SHARD_AXIS),) * 5,
+        ), donate_argnums=(0, 1))
+        self._qfns[key] = fn
+        return fn
+
+    def _ensure_model_dev(self):
+        if self._dev is None:
+            rep = NamedSharding(self.mesh, P())
+            self._dev = {
+                "Cs": jax.device_put(np.stack(self.model.Cs), rep),
+                "Rs": jax.device_put(np.stack(self.model.Rs), rep),
+                "mus": jax.device_put(np.stack(self.model.mus), rep),
+                "subs": jax.device_put(
+                    np.stack([np.stack(h)
+                              for h in self.model.subquantizers]), rep),
+            }
+
+    @staticmethod
+    def _deal(n0, k, n_dev):
+        """Round-robin assignment of global rows [n0, n0+k) to shards."""
+        g = np.arange(n0, n0 + k)
+        return g % n_dev, g // n_dev
+
+    def append(self, coarse, fine, ids=None):
+        """Add rows; only the new rows cross the host->device boundary."""
+        from columbiaimagesearch_tpu.utils.codes import ids_to_object_array
+
         V = self.model.V
         coarse = np.asarray(coarse)
         fine = np.asarray(fine).astype(np.uint8)
-        n = len(coarse)
-        cells = coarse[:, 0].astype(np.int64) * V + coarse[:, 1].astype(np.int64)
-        if ids is None:
-            ids_arr = np.arange(n, dtype=object)
+        k = len(coarse)
+        if k == 0:
+            return
+        cells = (coarse[:, 0].astype(np.int64) * V
+                 + coarse[:, 1].astype(np.int64))
+        ids_arr = (np.arange(self.nb_indexed, self.nb_indexed + k,
+                             dtype=object) if ids is None
+                   else ids_to_object_array(ids, k))
+        if self._ids is None:
+            self._ids, self._cells_host, self._fine_host = (ids_arr, cells,
+                                                            fine)
         else:
-            from columbiaimagesearch_tpu.utils.codes import ids_to_object_array
+            self._ids = np.concatenate([self._ids, ids_arr])
+            self._cells_host = np.concatenate([self._cells_host, cells])
+            self._fine_host = np.concatenate([self._fine_host, fine])
+        self._upload(prev_n=self.nb_indexed)
+        self.nb_indexed = len(self._ids)
 
-            ids_arr = ids_to_object_array(ids, n)
+    def build(self, coarse, fine, ids=None):
+        """Bulk (re)build: resets state then appends everything."""
+        self.nb_indexed = 0
+        self._ids = self._cells_host = self._fine_host = None
+        self._buf_cells = self._buf_fine = None
+        self._cap_per = 0
+        self._n_dev_rows = 0
+        self.append(coarse, fine, ids)
 
-        order = np.argsort(cells, kind="stable")
-        cells, fine, ids_arr = cells[order], fine[order], ids_arr[order]
-
+    def _upload(self, prev_n):
+        """Push rows [prev_n, n) into the device buffers and rebuild CSR."""
+        V = self.model.V
+        n = len(self._ids)
         n_dev = self.mesh.devices.size
-        per = round_up(max(n, 1), n_dev) // n_dev
-        M = fine.shape[1]
-
-        codes_sh = np.zeros((n_dev, per, M), dtype=np.uint8)
-        starts_sh = np.zeros((n_dev, V * V + 1), dtype=np.int32)
-        ids_sh = np.empty((n_dev, per), dtype=object)
-        ids_sh.fill(None)
-
-        # Vectorized round-robin deal: row i -> shard i % n_dev, slot
-        # i // n_dev. One scatter for codes/ids and one 2-d bincount for the
-        # per-shard CSR offsets (no per-device Python pass over the rows).
-        if n:
-            shard_of = np.arange(n) % n_dev
-            slot_of = np.arange(n) // n_dev
-            codes_sh[shard_of, slot_of] = fine
-            ids_sh[shard_of, slot_of] = ids_arr
-            counts = np.bincount(shard_of * (V * V) + cells,
-                                 minlength=n_dev * V * V)
-            counts = counts.reshape(n_dev, V * V)
-            starts_sh[:, 1:] = np.cumsum(counts, axis=1)
-            # Padding rows sit past cell_start[-1], never probed.
-
+        M = self._fine_host.shape[1]
+        sentinel = V * V
         sh = NamedSharding(self.mesh, P(SHARD_AXIS))
-        rep = NamedSharding(self.mesh, P())
-        self._dev = {
-            "codes": jax.device_put(codes_sh, sh),
-            "cell_start": jax.device_put(starts_sh, sh),
-            "Cs": jax.device_put(np.stack(self.model.Cs), rep),
-            "Rs": jax.device_put(np.stack(self.model.Rs), rep),
-            "mus": jax.device_put(np.stack(self.model.mus), rep),
-            "subs": jax.device_put(
-                np.stack([np.stack(h) for h in self.model.subquantizers]), rep),
-        }
-        self._ids = ids_sh
-        self.nb_indexed = n
-        self._per = per
+        self._ensure_model_dev()
+
+        need_per = round_up(n // n_dev + 2 * self.CHUNK_QUANTUM,
+                            self.CHUNK_QUANTUM)
+        if self._buf_cells is None or need_per > self._cap_per:
+            # (Re)allocate capacity buffers prefilled with every row.
+            self._cap_per = need_per
+            buf_c = np.full((n_dev, self._cap_per), sentinel, np.int32)
+            buf_f = np.zeros((n_dev, self._cap_per, M), np.uint8)
+            shard_of, slot_of = self._deal(0, n, n_dev)
+            buf_c[shard_of, slot_of] = self._cells_host.astype(np.int32)
+            buf_f[shard_of, slot_of] = self._fine_host
+            self._buf_cells = jax.device_put(buf_c, sh)
+            self._buf_fine = jax.device_put(buf_f, sh)
+            kq = self.CHUNK_QUANTUM
+            chunk_c = np.full((n_dev, kq), sentinel, np.int32)
+            chunk_f = np.zeros((n_dev, kq, M), np.uint8)
+            offsets = self._per_shard_count(n, n_dev)[:, None] \
+                .astype(np.int32)
+        else:
+            k = n - prev_n
+            if k == 0:
+                return
+            shard_of, slot_of = self._deal(prev_n, k, n_dev)
+            base = self._per_shard_count(prev_n, n_dev)  # old occupancy
+            per_new = np.bincount(shard_of, minlength=n_dev)
+            kq = int(round_up(max(int(per_new.max()), 1),
+                              self.CHUNK_QUANTUM))
+            chunk_c = np.full((n_dev, kq), sentinel, np.int32)
+            chunk_f = np.zeros((n_dev, kq, M), np.uint8)
+            within = slot_of - base[shard_of]
+            chunk_c[shard_of, within] = \
+                self._cells_host[prev_n:n].astype(np.int32)
+            chunk_f[shard_of, within] = self._fine_host[prev_n:n]
+            offsets = base[:, None].astype(np.int32)
+
+        fn = self._fns(V, self._cap_per, chunk_c.shape[1], M)
+        (self._buf_cells, self._buf_fine, codes, cell_start,
+         order) = fn(self._buf_cells, self._buf_fine,
+                     jax.device_put(chunk_c, sh),
+                     jax.device_put(chunk_f, sh),
+                     jax.device_put(offsets, sh))
+        self._n_dev_rows = n
+        self._dev["codes"] = codes
+        self._dev["cell_start"] = cell_start
+        self._dev["order"] = order
+
+    @staticmethod
+    def _per_shard_count(n, n_dev):
+        """Occupancy of each shard after n globally-dealt rows."""
+        base = np.full(n_dev, n // n_dev, dtype=np.int64)
+        base[:n % n_dev] += 1
+        return base
 
     # -------------------------------------------------------------- queries
 
@@ -164,14 +269,18 @@ class ShardedLOPQIndex:
             return cached
         mesh = self.mesh
 
-        def shard_query(x, Cs, Rs, mus, subs, codes, cell_start, quota):
-            # Inside shard_map: codes [1, per, M], cell_start [1, V^2+1].
+        def shard_query(x, Cs, Rs, mus, subs, codes, cell_start, order,
+                        quota):
+            # Inside shard_map: codes [1, cap, M], cell_start [1, V^2+1],
+            # order [1, cap] (sorted position -> in-shard insertion slot).
             rows, dists, total, ncells = lopq_query(
                 x, Cs, Rs, mus, subs, codes[0], cell_start[0], quota,
                 V=V, B=B, Q=Q, K=K)
             shard_id = jax.lax.axis_index(SHARD_AXIS)
+            slots = order[0][jnp.maximum(rows, 0)]
+            # global insertion index = slot * n_dev + shard (round-robin)
             rows_g = jnp.where(rows >= 0,
-                               rows * mesh.devices.size + shard_id, -1)
+                               slots * mesh.devices.size + shard_id, -1)
             # all_gather the tiny top-k and merge on every shard.
             all_rows = jax.lax.all_gather(rows_g, SHARD_AXIS).reshape(-1)
             all_dists = jax.lax.all_gather(dists, SHARD_AXIS).reshape(-1)
@@ -183,8 +292,10 @@ class ShardedLOPQIndex:
         fn = jax.jit(jax.shard_map(
             shard_query,
             mesh=mesh,
-            in_specs=(P(), P(), P(), P(), P(), P(SHARD_AXIS), P(SHARD_AXIS), P()),
-            out_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS)),
+            in_specs=(P(), P(), P(), P(), P(), P(SHARD_AXIS), P(SHARD_AXIS),
+                      P(SHARD_AXIS), P()),
+            out_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS),
+                       P(SHARD_AXIS)),
         ))
         self._qfns[key] = fn
         return fn
@@ -202,25 +313,23 @@ class ShardedLOPQIndex:
         B = self.probe_width or min(V, 64)
         K = min(limit if limit is not None else quota, max(self.nb_indexed, 1))
         Q = min(round_up(int(quota * 1.5) + 256, 1024),
-                round_up(max(self._per, 256), 256))
+                round_up(max(self._cap_per, 256), 256))
         K_pad = min(round_up(K, 16), Q)
 
         qfn = self._query_fn(V, B, Q, K_pad)
         d = self._dev
         rows, dists, total, ncells = qfn(
             jnp.asarray(x, dtype=jnp.float32), d["Cs"], d["Rs"], d["mus"],
-            d["subs"], d["codes"], d["cell_start"],
+            d["subs"], d["codes"], d["cell_start"], d["order"],
             jnp.asarray(quota, dtype=jnp.int32))
         # Every shard returns the same merged top-k; take shard 0's copy.
         rows = np.asarray(rows)[0]
         dists = np.asarray(dists)[0]
-        n_dev = self.mesh.devices.size
         out = []
         for r, dist in zip(rows[:K], dists[:K]):
             if r < 0 or not np.isfinite(dist):
                 continue
-            d_id, d_row = int(r) % n_dev, int(r) // n_dev
-            out.append((self._ids[d_id, d_row], float(dist)))
+            out.append((self._ids[int(r)], float(dist)))
         return out, int(np.asarray(ncells)[0])
 
 
@@ -238,6 +347,7 @@ class ShardedLOPQSearcher:
                                       probe_width=probe_width)
         self._parts = []  # list of (coarse [n,2] int32, fine [n,M], ids obj)
         self._dirty = False
+        self._sent = 0  # deduped rows already appended to the device index
         self.nb_indexed = 0
 
     def add_codes(self, codes, ids=None):
@@ -276,13 +386,18 @@ class ShardedLOPQSearcher:
             fine = np.concatenate([p[1] for p in self._parts])
             ids = np.concatenate([p[2] for p in self._parts])
             self._parts = [(coarse, fine, ids)]
-            # Dedup (cell, id) keeping first insertion — vectorized.
+            # Dedup (cell, id) keeping first insertion — vectorized. The
+            # kept sequence is append-stable, so only rows beyond _sent
+            # need to reach the device (incremental shard_map append).
             cells = (coarse[:, 0].astype(np.int64) * self.model.V
                      + coarse[:, 1].astype(np.int64))
             keep = dedup_first_mask(cells, ids)
             if not keep.all():
                 coarse, fine, ids = coarse[keep], fine[keep], ids[keep]
-            self.index.build(coarse, fine, ids)
+            if len(ids) > self._sent:
+                self.index.append(coarse[self._sent:], fine[self._sent:],
+                                  ids[self._sent:])
+                self._sent = len(ids)
             self.nb_indexed = self.index.nb_indexed
             self._dirty = False
 

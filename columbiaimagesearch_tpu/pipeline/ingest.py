@@ -55,15 +55,24 @@ class MemoryBus:
         self._jf = None
         if journal_path:
             if os.path.exists(journal_path):
-                self._replay(journal_path)
-            self._jf = open(journal_path, "a")
+                n_lines = self._replay(journal_path)
+                n_msgs = sum(len(v) for v in self.topics.values())
+                # Heavily churned log (many offset commits per message):
+                # rewrite as one snapshot so future replays are O(messages).
+                if n_lines > 4 * max(n_msgs, 1) and n_lines > 10000:
+                    self.compact()
+            if self._jf is None:
+                self._jf = open(journal_path, "a")
 
     def _replay(self, path):
         """Rebuild state from the append-only journal (one JSON per line:
         ``{"t", "m"}`` = published message, ``{"o", "p"}`` = offset commit;
-        a line holding a legacy full-state snapshot is also accepted)."""
+        a line holding a legacy full-state snapshot is also accepted).
+        Returns the number of journal lines replayed."""
+        n_lines = 0
         with open(path) as f:
             for line in f:
+                n_lines += 1
                 line = line.strip()
                 if not line:
                     continue
@@ -78,6 +87,7 @@ class MemoryBus:
                 elif "topics" in entry or "offsets" in entry:
                     self.topics = entry.get("topics", self.topics)
                     self.offsets = entry.get("offsets", self.offsets)
+        return n_lines
 
     def _append(self, entry):
         # O(1) append per event (the old implementation rewrote the whole

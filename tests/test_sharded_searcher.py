@@ -52,3 +52,38 @@ def test_codestore_backed_searcher_restart(tmp_path):
                                {"max_returned": 3, "reranking": False})
     block = out["AllSimilarImages"][0]["SimilarImages"]
     assert sha1s[9] in block["ImageSha1s"]
+
+
+def test_sharded_incremental_append_matches_host():
+    """Device-side shard_map append: three refresh rounds (with duplicate
+    re-insertions) must match the host parity searcher."""
+    from tests.oracle_lopq import random_params
+
+    from columbiaimagesearch_tpu.index.model import LOPQModel
+    from columbiaimagesearch_tpu.index.searcher import LOPQSearcher
+    from columbiaimagesearch_tpu.parallel.sharded import ShardedLOPQSearcher
+
+    rs = np.random.RandomState(11)
+    model = LOPQModel(parameters=random_params(rs, V=8, M=4, S=16, D=32))
+    X = rs.randn(480, 32).astype(np.float32)
+    coarse, fine = model.predict_batch(X)
+    ids = np.asarray([f"s{i}" for i in range(480)], dtype=object)
+
+    sharded = ShardedLOPQSearcher(model)
+    host = LOPQSearcher(model)
+    slices = [(0, 200), (200, 400), (400, 480)]
+    for a, b in slices:
+        sharded.add_codes((coarse[a:b], fine[a:b]), ids[a:b])
+        host.add_codes((coarse[a:b], fine[a:b]), ids[a:b])
+        # re-insert a duplicate block: must be dropped by both
+        sharded.add_codes((coarse[:50], fine[:50]), ids[:50])
+        host.add_codes((coarse[:50], fine[:50]), ids[:50])
+        assert sharded.get_nb_indexed() == host.get_nb_indexed() == b
+        for q in (1, 7):
+            res_s, _ = sharded.search(X[q], quota=480, limit=5,
+                                      with_dists=True)
+            res_h, _ = host.search(X[q], quota=480, limit=5,
+                                   with_dists=True)
+            assert [r.id for r in res_s] == [r.id for r in res_h], (a, b, q)
+            np.testing.assert_allclose([r.dist for r in res_s],
+                                       [r.dist for r in res_h], rtol=1e-4)
