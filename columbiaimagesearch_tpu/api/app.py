@@ -166,8 +166,7 @@ class SearchAPI:
         import base64
 
         sha1s = query.split(",")
-        buff_col = self.searcher.indexer.get_col_imgbuff() \
-            if self.searcher.indexer is not None else None
+        buff_col = self.searcher.indexer.get_col_imgbuff()
         rows = self.searcher.indexer.get_columns_from_sha1_rows(
             sha1s, columns=[self.searcher.img_column, buff_col])
         cells = []
@@ -181,7 +180,7 @@ class SearchAPI:
                     b64 = buf.decode()
                 except Exception:
                     b64 = base64.b64encode(buf).decode()
-                src = f"data:image;base64,{b64}"
+                src = f"data:image/jpeg;base64,{b64}"
             else:
                 val = row[1].get(self.searcher.img_column, b"")
                 src = val.decode() if isinstance(val, bytes) else val
@@ -306,7 +305,10 @@ def wsgi_app(searcher, endpoint="cuimgsearch", input_type="image"):
             ctype = environ.get("CONTENT_TYPE", "")
             form = {}
             if "json" in ctype:
-                form = _json.loads(raw)
+                try:
+                    form = _json.loads(raw)
+                except Exception:
+                    form = {}
             elif raw:
                 form = {k: v[0] for k, v in parse_qs(raw).items()}
                 if not form:
@@ -314,6 +316,8 @@ def wsgi_app(searcher, endpoint="cuimgsearch", input_type="image"):
                         form = _json.loads(raw)
                     except Exception:
                         form = {}
+            if not isinstance(form, dict):  # e.g. a JSON array body
+                form = {}
             data = form.get("data", data)
             options = form.get("options", options)
             if isinstance(options, (dict, list)):

@@ -88,6 +88,16 @@ def build_searcher(conf, prefix="SEARCHLOPQ_", indexer=None, storer=None):
         verbose=int(r.get_param("verbose", 0)))
 
 
+def _decode_servers(servers):
+    """Kafka broker lists arrive from env as JSON-encoded strings
+    (reference create_conf_ingester.py kafka_servers); decode to a list."""
+    if isinstance(servers, str) and servers.lstrip().startswith("["):
+        import json
+
+        return json.loads(servers)
+    return servers
+
+
 def build_ingester(conf, prefix="IMG_ING_"):
     """Conf -> image ingester: local dir / MemoryBus / Kafka / Kinesis
     (the role of the reference's ingester conf wiring,
@@ -97,13 +107,16 @@ def build_ingester(conf, prefix="IMG_ING_"):
     if input_type == "local":
         from columbiaimagesearch_tpu.pipeline.ingest import LocalDirIngester
 
-        return LocalDirIngester(r.get_required_param("input_path"))
+        return LocalDirIngester(
+            r.get_required_param("input_path"),
+            source_archive=r.get_param("source_zip",
+                                       r.get_param("source_archive")))
     elif input_type == "kafka":
         from columbiaimagesearch_tpu.pipeline.kafka_backend import KafkaIngester
 
         return KafkaIngester(
             r.get_required_param("topic_name"),
-            servers=r.get_param("servers"),
+            servers=_decode_servers(r.get_param("servers")),
             group=r.get_param("consumer_group"),
             consumer_options=r.get_param("consumer_options"))
     elif input_type == "kinesis":
@@ -138,7 +151,7 @@ def build_pusher(conf, prefix="IMG_PUSH_", bus=None):
         from columbiaimagesearch_tpu.pipeline.kafka_backend import KafkaPusher
 
         return KafkaPusher(r.get_required_param("topic_name"),
-                           servers=r.get_param("servers"))
+                           servers=_decode_servers(r.get_param("servers")))
     elif pushing_type == "kinesis":
         from columbiaimagesearch_tpu.pipeline.kinesis_backend import (
             KinesisPusher,

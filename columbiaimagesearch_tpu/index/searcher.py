@@ -20,6 +20,7 @@ from columbiaimagesearch_tpu.index.model import LOPQCode, LOPQModelPCA
 from columbiaimagesearch_tpu.index.multisequence import multisequence
 from columbiaimagesearch_tpu.utils.chunking import round_up
 from columbiaimagesearch_tpu.utils.codes import (
+    IncrementalDedup,
     code_dtype_for,
     ids_to_object_array,
 )
@@ -183,8 +184,7 @@ class LOPQSearcherTPU(LOPQSearcherBase):
         self._cells = None  # int64 [n] cell ids, INSERTION order
         self._fine = None   # uint8 [n, M], insertion order
         self._ids = None    # object [n]
-        self._id_index = {}  # id -> dense int (dedup interning)
-        self._keys = None   # int64 sorted (cell<<34|id_idx) keys
+        self._dedup = IncrementalDedup()
         self._buf_cells = None  # device [cap] int32, sentinel-padded
         self._buf_fine = None   # device [cap, M] uint8
         self._cap = 0
@@ -224,41 +224,6 @@ class LOPQSearcherTPU(LOPQSearcherBase):
             self._codestore.sync()
         self._dirty = True
 
-    def _dedup_new(self, cells_new, ids_new):
-        """Keep-mask for new rows: first occurrence of a never-seen
-        (cell, id), exactly (reference duplicate handling,
-        lopq/lopq/search.py:342-364). Ids are interned into a persistent
-        dense-int table so only NEW rows are hashed per refresh."""
-        n = len(cells_new)
-        idx = np.empty(n, dtype=np.int64)
-        d = self._id_index
-        if not d and n > 100_000:
-            # Bulk path: hash-based factorize, then materialize the table.
-            import pandas as pd
-
-            codes_i, uniques = pd.factorize(ids_new)
-            idx[:] = codes_i
-            self._id_index = dict(zip(list(uniques), range(len(uniques))))
-        else:
-            for i, x in enumerate(ids_new):
-                v = d.get(x)
-                if v is None:
-                    v = len(d)
-                    d[x] = v
-                idx[i] = v
-        keys = (cells_new.astype(np.int64) << 34) | idx
-        keep = np.zeros(n, dtype=bool)
-        _, first = np.unique(keys, return_index=True)
-        keep[first] = True
-        if self._keys is not None and len(self._keys):
-            pos = np.minimum(np.searchsorted(self._keys, keys),
-                             len(self._keys) - 1)
-            keep &= self._keys[pos] != keys
-        new_keys = keys[keep]
-        self._keys = np.sort(new_keys if self._keys is None
-                             else np.concatenate([self._keys, new_keys]))
-        return keep
-
     def _pack(self):
         if not self._dirty:
             return
@@ -268,13 +233,12 @@ class LOPQSearcherTPU(LOPQSearcherBase):
                 f"V={V}: the dense [V^2+1] CSR offsets table would exceed "
                 "device memory; use the sharded index or a smaller coarse "
                 "codebook")
-        n_before = len(self._cells) if self._cells is not None else 0
         if self._pending:
             cells_new = np.concatenate([p[0] for p in self._pending])
             fine_new = np.concatenate([p[1] for p in self._pending])
             ids_new = np.concatenate([p[2] for p in self._pending])
             self._pending = []
-            keep = self._dedup_new(cells_new, ids_new)
+            keep = self._dedup.filter_new(cells_new, ids_new)
             if not keep.all():
                 cells_new = cells_new[keep]
                 fine_new = fine_new[keep]
@@ -347,7 +311,6 @@ class LOPQSearcherTPU(LOPQSearcherBase):
         self._dev["cell_start"] = cell_start
         self._dev["order"] = order
         self._dirty = False
-        del n_before
 
     def get_cell(self, cell):
         """All (id, code) pairs of one cell (reference LMDB prefix-scan role,

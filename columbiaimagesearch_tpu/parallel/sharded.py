@@ -345,9 +345,11 @@ class ShardedLOPQSearcher:
         self.model = model
         self.index = ShardedLOPQIndex(model, mesh=mesh,
                                       probe_width=probe_width)
-        self._parts = []  # list of (coarse [n,2] int32, fine [n,M], ids obj)
+        from columbiaimagesearch_tpu.utils.codes import IncrementalDedup
+
+        self._parts = []  # pending (coarse [n,2] int32, fine [n,M], ids obj)
         self._dirty = False
-        self._sent = 0  # deduped rows already appended to the device index
+        self._dedup = IncrementalDedup()
         self.nb_indexed = 0
 
     def add_codes(self, codes, ids=None):
@@ -380,24 +382,20 @@ class ShardedLOPQSearcher:
 
     def _maybe_build(self):
         if self._dirty and self._parts:
-            from columbiaimagesearch_tpu.utils.codes import dedup_first_mask
-
             coarse = np.concatenate([p[0] for p in self._parts])
             fine = np.concatenate([p[1] for p in self._parts])
             ids = np.concatenate([p[2] for p in self._parts])
-            self._parts = [(coarse, fine, ids)]
-            # Dedup (cell, id) keeping first insertion — vectorized. The
-            # kept sequence is append-stable, so only rows beyond _sent
-            # need to reach the device (incremental shard_map append).
+            self._parts = []
+            # Exact first-insertion dedup, incremental: only the PENDING
+            # rows are hashed (interned id table + sorted key set persist
+            # across refreshes), then only survivors reach the device.
             cells = (coarse[:, 0].astype(np.int64) * self.model.V
                      + coarse[:, 1].astype(np.int64))
-            keep = dedup_first_mask(cells, ids)
+            keep = self._dedup.filter_new(cells, ids)
             if not keep.all():
                 coarse, fine, ids = coarse[keep], fine[keep], ids[keep]
-            if len(ids) > self._sent:
-                self.index.append(coarse[self._sent:], fine[self._sent:],
-                                  ids[self._sent:])
-                self._sent = len(ids)
+            if len(ids):
+                self.index.append(coarse, fine, ids)
             self.nb_indexed = self.index.nb_indexed
             self._dirty = False
 

@@ -55,11 +55,71 @@ def dedup_first_mask(cells, ids):
 
 def ids_to_object_array(ids, n):
     """Materialize an id iterable into an object ndarray without a Python
-    per-element loop (C-level fill)."""
+    per-element loop (C-level fill). Sequence-typed ids (tuples/lists as a
+    single id — permitted by the reference searchers) fall back to a
+    per-element fill, since numpy would otherwise broadcast them."""
     if isinstance(ids, np.ndarray) and ids.dtype == object and len(ids) == n:
         return ids
     if not isinstance(ids, (list, tuple, np.ndarray)):
         ids = list(ids)
     ids_arr = np.empty(n, dtype=object)
-    ids_arr[:] = ids[:n]
+    try:
+        ids_arr[:] = ids[:n]
+    except ValueError:  # per-id sequences: assign one by one
+        for i in range(n):
+            ids_arr[i] = ids[i]
     return ids_arr
+
+
+class IncrementalDedup:
+    """Exact first-insertion (cell, id) dedup across refreshes.
+
+    Ids intern into a persistent dense-int table so only NEW rows are
+    hashed per refresh; seen keys live in one sorted int64 array. Shared
+    by the single-chip and sharded searcher repack paths (reference
+    duplicate handling: lopq/lopq/search.py:342-364).
+    """
+
+    def __init__(self):
+        self._id_index = {}
+        self._keys = None
+
+    def filter_new(self, cells_new, ids_new):
+        """Keep-mask over the new rows: first occurrence of a never-seen
+        (cell, id)."""
+        n = len(cells_new)
+        idx = np.empty(n, dtype=np.int64)
+        d = self._id_index
+        if not d and n > 100_000:
+            # Bulk path: hash-based factorize, then materialize the table.
+            import pandas as pd
+
+            codes_i, uniques = pd.factorize(ids_new)
+            idx[:] = codes_i
+            self._id_index = dict(zip(list(uniques), range(len(uniques))))
+            if idx.min() < 0:
+                # NaN-like ids get factorize's -1 sentinel; give them one
+                # dedicated dense code (an OR with -1 would collapse keys
+                # across cells).
+                nan_code = len(self._id_index)
+                self._id_index[None] = nan_code
+                idx[idx < 0] = nan_code
+        else:
+            for i, x in enumerate(ids_new):
+                v = d.get(x)
+                if v is None:
+                    v = len(d)
+                    d[x] = v
+                idx[i] = v
+        keys = (np.asarray(cells_new, dtype=np.int64) << 34) | idx
+        keep = np.zeros(n, dtype=bool)
+        _, first = np.unique(keys, return_index=True)
+        keep[first] = True
+        if self._keys is not None and len(self._keys):
+            pos = np.minimum(np.searchsorted(self._keys, keys),
+                             len(self._keys) - 1)
+            keep &= self._keys[pos] != keys
+        new_keys = keys[keep]
+        self._keys = np.sort(new_keys if self._keys is None
+                             else np.concatenate([self._keys, new_keys]))
+        return keep

@@ -180,3 +180,35 @@ def test_ingester_conf_generator_and_builders(tmp_path):
     # unknown type
     with pytest.raises(ValueError):
         build_ingester({"IMG_ING_input_type": "nope"})
+
+
+def test_factory_wires_source_zip_and_decodes_servers(tmp_path):
+    """Review regressions: source_zip reaches LocalDirIngester, and
+    JSON-encoded kafka server lists decode before hitting the client."""
+    import zipfile
+
+    from PIL import Image as _Image
+
+    from columbiaimagesearch_tpu.common.factory import (
+        _decode_servers,
+        build_ingester,
+        generate_conf_ingester,
+    )
+
+    src = tmp_path / "s"
+    src.mkdir()
+    _Image.fromarray(np.full((8, 8, 3), 7, np.uint8)).save(src / "a.png")
+    zpath = tmp_path / "d.zip"
+    with zipfile.ZipFile(zpath, "w") as z:
+        z.write(src / "a.png", "a.png")
+
+    env = {"input_type": "local", "input_path": str(tmp_path / "imgs"),
+           "source_zip": str(zpath)}
+    conf = generate_conf_ingester(env)
+    ing = build_ingester(conf)
+    assert len(list(ing.get_msg_json())) == 1  # archive was extracted
+
+    assert _decode_servers('["k0:9093", "k1:9093"]') == ["k0:9093",
+                                                         "k1:9093"]
+    assert _decode_servers(["k0:9093"]) == ["k0:9093"]
+    assert _decode_servers("k0:9093") == "k0:9093"

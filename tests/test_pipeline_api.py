@@ -405,4 +405,4 @@ def test_view_image_sha1_embeds_buffer(pipeline_env):
                 base64.b64encode(buf.read()).decode()}},
         kv.table_sha1infos_name)
     code, html = api.process("view_image_sha1", sha1)
-    assert code == 200 and "data:image;base64," in html
+    assert code == 200 and "data:image/jpeg;base64," in html

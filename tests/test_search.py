@@ -203,3 +203,30 @@ def test_tpu_searcher_incremental_dedup_across_refreshes():
         assert [r.id for r in res] == [r.id for r in res_h]
         np.testing.assert_allclose([r.dist for r in res],
                                    [r.dist for r in res_h], rtol=1e-4)
+
+
+def test_dedup_handles_none_ids_and_sequence_ids():
+    """Review regressions: bulk factorize path must not collapse None ids
+    across cells; sequence-typed ids must materialize one per element."""
+    from columbiaimagesearch_tpu.utils.codes import (
+        IncrementalDedup,
+        ids_to_object_array,
+    )
+
+    n = 150_000
+    rs = np.random.RandomState(0)
+    cells = rs.randint(0, 64, n).astype(np.int64)
+    ids = np.empty(n, dtype=object)
+    ids[:] = [f"s{i}" for i in range(n)]
+    ids[:64] = None  # NaN-like ids in 64 different cells
+    cells[:64] = np.arange(64)
+    d = IncrementalDedup()
+    keep = d.filter_new(cells, ids)
+    # one None per distinct cell must survive (not collapse to one key)
+    assert keep[:64].sum() == 64
+    # a later refresh re-inserting an existing (cell, id) is dropped
+    keep2 = d.filter_new(cells[64:66], ids[64:66])
+    assert not keep2.any()
+
+    arr = ids_to_object_array([(1, 2), (3, 4)], 2)
+    assert arr.shape == (2,) and arr[0] == (1, 2)
