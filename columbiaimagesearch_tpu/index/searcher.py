@@ -11,6 +11,7 @@ reference's ``LOPQSearcherLMDB`` (reference: lopq/lopq/search.py:385-499) with
 device memory instead of LMDB pages.
 """
 
+import threading
 from collections import defaultdict, namedtuple
 from itertools import count
 
@@ -191,6 +192,13 @@ class LOPQSearcherTPU(LOPQSearcherBase):
         self._n_dev = 0     # occupied device rows
         self._dev = None    # codes/cell_start/order + model tables
         self._dirty = True
+        # Serving refreshes run concurrently with queries (threaded API +
+        # background load_codes): mutations hold this lock, and queries
+        # snapshot (_dev, ids, cells, fine) atomically so a mid-query
+        # repack can't mix old offsets with new codes. Appends replace the
+        # host arrays rather than mutating them, so a stale snapshot is
+        # always internally consistent.
+        self._mutlock = threading.RLock()
         self._codestore = None
         if codestore_path is not None:
             # Durable native store (native/codestore.cpp): appends persist,
@@ -216,15 +224,20 @@ class LOPQSearcherTPU(LOPQSearcherBase):
             codes, ids, self.model.V, self.model.subquantizer_clusters)
         cells = (coarse[:, 0].astype(np.int64) * self.model.V
                  + coarse[:, 1].astype(np.int64))
-        self._pending.append((cells, fine.astype(np.uint8), ids_arr))
-        if self._codestore is not None:
-            self._codestore.append(cells.astype(np.uint32),
-                                   fine.astype(np.uint8),
-                                   [str(i) for i in ids_arr])
-            self._codestore.sync()
-        self._dirty = True
+        with self._mutlock:
+            self._pending.append((cells, fine.astype(np.uint8), ids_arr))
+            if self._codestore is not None:
+                self._codestore.append(cells.astype(np.uint32),
+                                       fine.astype(np.uint8),
+                                       [str(i) for i in ids_arr])
+                self._codestore.sync()
+            self._dirty = True
 
     def _pack(self):
+        with self._mutlock:
+            self._pack_locked()
+
+    def _pack_locked(self):
         if not self._dirty:
             return
         V = self.model.V
@@ -307,26 +320,38 @@ class LOPQSearcherTPU(LOPQSearcherBase):
             self._buf_cells, self._buf_fine, jnp.asarray(chunk_c),
             jnp.asarray(chunk_f), jnp.int32(offset), V)
         self._n_dev = n
-        self._dev["codes"] = codes
-        self._dev["cell_start"] = cell_start
-        self._dev["order"] = order
+        # Atomic swap: in-flight queries holding the previous dict keep a
+        # consistent (codes, cell_start, order) triple.
+        dev = dict(self._dev)
+        dev["codes"] = codes
+        dev["cell_start"] = cell_start
+        dev["order"] = order
+        self._dev = dev
         self._dirty = False
+
+    def _snapshot(self):
+        """Pack if needed and return a consistent (dev, ids, cells, fine,
+        nb_indexed) view for one query, immune to concurrent refreshes."""
+        with self._mutlock:
+            self._pack_locked()
+            return (self._dev, self._ids, self._cells, self._fine,
+                    self.nb_indexed)
 
     def get_cell(self, cell):
         """All (id, code) pairs of one cell (reference LMDB prefix-scan role,
         lopq/lopq/search.py:472-499). Host-side linear scan over the
         insertion-order arrays — API parity only, not the hot query path."""
-        self._pack()
-        if self.nb_indexed == 0:
+        _, ids_arr, cells_arr, fine_arr, nb = self._snapshot()
+        if nb == 0:
             return []
         c = int(cell[0]) * self.model.V + int(cell[1])
         V, S = self.model.V, self.model.subquantizer_clusters
         cdt, fdt = code_dtype_for(V), code_dtype_for(S)
         out = []
-        for r in np.nonzero(self._cells == c)[0]:
-            coarse = (cdt(self._cells[r] // V), cdt(self._cells[r] % V))
-            fine = tuple(fdt(v) for v in self._fine[r])
-            out.append((self._ids[r], LOPQCode(coarse, fine)))
+        for r in np.nonzero(cells_arr == c)[0]:
+            coarse = (cdt(cells_arr[r] // V), cdt(cells_arr[r] % V))
+            fine = tuple(fdt(v) for v in fine_arr[r])
+            out.append((ids_arr[r], LOPQCode(coarse, fine)))
         return out
 
     # --------------------------------------------------------------- search
@@ -343,15 +368,14 @@ class LOPQSearcherTPU(LOPQSearcherBase):
         X = np.asarray(X, dtype=np.float32)
         if isinstance(self.model, LOPQModelPCA):
             X = self.model.apply_PCA(X)
-        self._pack()
-        if self.nb_indexed == 0:
+        d, ids_arr, cells_arr, fine_arr, nb = self._snapshot()
+        if nb == 0:
             return [([], 0)] * len(X)
 
         V = self.model.V
         B = self.probe_width or min(V, 64)
-        K = min(limit if limit is not None else quota, self.nb_indexed)
-        Q = min(round_up(int(quota) + 1024, 1024),
-                round_up(self.nb_indexed, 256))
+        K = min(limit if limit is not None else quota, nb)
+        Q = min(round_up(int(quota) + 1024, 1024), round_up(nb, 256))
         K_pad = min(round_up(K, 16), Q)
 
         def qfn(q, Cs, Rs, mus, subs, codes, cell_start, order, qq):
@@ -359,7 +383,6 @@ class LOPQSearcherTPU(LOPQSearcherBase):
                                    order, qq, V=V, B=B, Q=Q, K=K_pad)
 
         batched = jax.vmap(qfn, in_axes=(0,) + (None,) * 8)
-        d = self._dev
         rows_b, dists_b, _, ncells_b = batched(
             jnp.asarray(X), d["Cs"], d["Rs"], d["mus"], d["subs"],
             d["codes"], d["cell_start"], d["order"],
@@ -368,22 +391,24 @@ class LOPQSearcherTPU(LOPQSearcherBase):
         dists_b = np.asarray(dists_b)
         ncells_b = np.asarray(ncells_b)
         return [
-            (self._rows_to_results(rows_b[i][:K], dists_b[i][:K], with_dists),
+            (self._rows_to_results(rows_b[i][:K], dists_b[i][:K], with_dists,
+                                   ids_arr, cells_arr, fine_arr),
              int(ncells_b[i]))
             for i in range(len(X))
         ]
 
-    def _rows_to_results(self, rows, dists, with_dists):
+    def _rows_to_results(self, rows, dists, with_dists, ids_arr, cells_arr,
+                         fine_arr):
         V_, S = self.model.V, self.model.subquantizer_clusters
         cdt, fdt = code_dtype_for(V_), code_dtype_for(S)
-        ids = (self._ids if self._ids is not None
-               else np.arange(len(self._cells)))
+        ids = (ids_arr if ids_arr is not None
+               else np.arange(len(cells_arr)))
         out = []
         for r, dist in zip(rows, dists):
             if r < 0 or not np.isfinite(dist):
                 continue
-            coarse = (cdt(self._cells[r] // V_), cdt(self._cells[r] % V_))
-            fine = tuple(fdt(v) for v in self._fine[r])
+            coarse = (cdt(cells_arr[r] // V_), cdt(cells_arr[r] % V_))
+            fine = tuple(fdt(v) for v in fine_arr[r])
             code = LOPQCode(coarse, fine)
             if with_dists:
                 out.append(ResultDist(ids[r], code, float(dist)))
@@ -399,17 +424,16 @@ class LOPQSearcherTPU(LOPQSearcherBase):
 
         if isinstance(self.model, LOPQModelPCA):
             x = self.model.apply_PCA(x)
-        self._pack()
-        if self.nb_indexed == 0:
+        d, ids_arr, cells_arr, fine_arr, nb = self._snapshot()
+        if nb == 0:
             return [], 0
 
         V = self.model.V
         B = self.probe_width or min(V, 64)
-        K = min(limit if limit is not None else quota, self.nb_indexed)
-        Q = min(round_up(int(quota) + 1024, 1024), round_up(self.nb_indexed, 256))
+        K = min(limit if limit is not None else quota, nb)
+        Q = min(round_up(int(quota) + 1024, 1024), round_up(nb, 256))
         K_pad = min(round_up(K, 16), Q)
 
-        d = self._dev
         rows, dists, total, n_cells = lopq_query_orig(
             jnp.asarray(np.asarray(x, dtype=np.float32)),
             d["Cs"], d["Rs"], d["mus"], d["subs"],
@@ -417,4 +441,5 @@ class LOPQSearcherTPU(LOPQSearcherBase):
             V=V, B=B, Q=Q, K=K_pad)
         rows = np.asarray(rows)[:K]
         dists = np.asarray(dists)[:K]
-        return self._rows_to_results(rows, dists, with_dists), int(n_cells)
+        return (self._rows_to_results(rows, dists, with_dists, ids_arr,
+                                      cells_arr, fine_arr), int(n_cells))

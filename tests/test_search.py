@@ -230,3 +230,60 @@ def test_dedup_handles_none_ids_and_sequence_ids():
 
     arr = ids_to_object_array([(1, 2), (3, 4)], 2)
     assert arr.shape == (2,) and arr[0] == (1, 2)
+
+
+def test_concurrent_refresh_and_search():
+    """Readers keep getting consistent results while a writer refreshes the
+    index (the API's background load_codes vs threaded serving)."""
+    import threading
+
+    from columbiaimagesearch_tpu.index.searcher import LOPQSearcherTPU
+
+    rs = np.random.RandomState(5)
+    model = LOPQModel(parameters=random_params(rs, V=8, M=4, S=16, D=32))
+    X = rs.randn(2000, 32).astype(np.float32)
+    coarse, fine = model.predict_batch(X)
+
+    s = LOPQSearcherTPU(model)
+    s.add_codes((coarse[:500], fine[:500]),
+                [f"i{j}" for j in range(500)])
+    assert s.get_nb_indexed() == 500
+
+    errors = []
+    done = threading.Event()
+
+    def writer():
+        try:
+            for start in range(500, 2000, 100):
+                s.add_codes(
+                    (coarse[start:start + 100], fine[start:start + 100]),
+                    [f"i{j}" for j in range(start, start + 100)])
+                s.get_nb_indexed()  # force a repack mid-flight
+        except Exception as inst:  # pragma: no cover
+            errors.append(("writer", inst))
+        finally:
+            done.set()
+
+    def reader():
+        try:
+            while not done.is_set():
+                res, _ = s.search(X[3], quota=200, limit=10,
+                                  with_dists=True)
+                assert res, "no results mid-refresh"
+                d = [r.dist for r in res]
+                assert d == sorted(d)
+                for r in res:
+                    assert str(r.id).startswith("i")
+        except Exception as inst:  # pragma: no cover
+            errors.append(("reader", inst))
+
+    threads = [threading.Thread(target=reader) for _ in range(3)]
+    w = threading.Thread(target=writer)
+    for t in threads:
+        t.start()
+    w.start()
+    w.join(timeout=300)
+    for t in threads:
+        t.join(timeout=300)
+    assert not errors, errors
+    assert s.get_nb_indexed() == 2000
