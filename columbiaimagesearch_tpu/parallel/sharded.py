@@ -247,9 +247,12 @@ class ShardedLOPQIndex:
                      jax.device_put(chunk_f, sh),
                      jax.device_put(offsets, sh))
         self._n_dev_rows = n
-        self._dev["codes"] = codes
-        self._dev["cell_start"] = cell_start
-        self._dev["order"] = order
+        # Atomic swap: concurrent queries keep a consistent triple.
+        dev = dict(self._dev)
+        dev["codes"] = codes
+        dev["cell_start"] = cell_start
+        dev["order"] = order
+        self._dev = dev
 
     @staticmethod
     def _per_shard_count(n, n_dev):
@@ -317,7 +320,8 @@ class ShardedLOPQIndex:
         K_pad = min(round_up(K, 16), Q)
 
         qfn = self._query_fn(V, B, Q, K_pad)
-        d = self._dev
+        d = self._dev          # snapshot (swapped atomically on refresh)
+        ids_snap = self._ids
         rows, dists, total, ncells = qfn(
             jnp.asarray(x, dtype=jnp.float32), d["Cs"], d["Rs"], d["mus"],
             d["subs"], d["codes"], d["cell_start"], d["order"],
@@ -329,7 +333,7 @@ class ShardedLOPQIndex:
         for r, dist in zip(rows[:K], dists[:K]):
             if r < 0 or not np.isfinite(dist):
                 continue
-            out.append((self._ids[int(r)], float(dist)))
+            out.append((ids_snap[int(r)], float(dist)))
         return out, int(np.asarray(ncells)[0])
 
 
@@ -345,11 +349,14 @@ class ShardedLOPQSearcher:
         self.model = model
         self.index = ShardedLOPQIndex(model, mesh=mesh,
                                       probe_width=probe_width)
+        import threading
+
         from columbiaimagesearch_tpu.utils.codes import IncrementalDedup
 
         self._parts = []  # pending (coarse [n,2] int32, fine [n,M], ids obj)
         self._dirty = False
         self._dedup = IncrementalDedup()
+        self._mutlock = threading.RLock()
         self.nb_indexed = 0
 
     def add_codes(self, codes, ids=None):
@@ -362,8 +369,9 @@ class ShardedLOPQSearcher:
         n = len(coarse)
         ids_arr = (np.arange(n, dtype=object) if ids is None
                    else ids_to_object_array(ids, n))
-        self._parts.append((coarse, fine, ids_arr))
-        self._dirty = True
+        with self._mutlock:
+            self._parts.append((coarse, fine, ids_arr))
+            self._dirty = True
 
     def add_codes_from_dict(self, codes_dict):
         n = len(codes_dict)
@@ -373,14 +381,19 @@ class ShardedLOPQSearcher:
         ids[:] = list(codes_dict.keys())
         coarse = np.asarray([codes_dict[i][0] for i in ids], dtype=np.int32)
         fine = np.asarray([codes_dict[i][1] for i in ids], dtype=np.int32)
-        self._parts.append((coarse, fine, ids))
-        self._dirty = True
+        with self._mutlock:
+            self._parts.append((coarse, fine, ids))
+            self._dirty = True
 
     def get_nb_indexed(self):
         self._maybe_build()
         return self.nb_indexed
 
     def _maybe_build(self):
+        with self._mutlock:
+            self._maybe_build_locked()
+
+    def _maybe_build_locked(self):
         if self._dirty and self._parts:
             coarse = np.concatenate([p[0] for p in self._parts])
             fine = np.concatenate([p[1] for p in self._parts])
