@@ -272,24 +272,32 @@ class ExhaustiveADCSearcher:
     """
 
     def __init__(self, model, interpret=None):
+        import threading
+
         self.model = model
         self.index = ExhaustiveADC(model, interpret=interpret)
         self._coarse, self._fine, self._ids2 = [], [], []
         self._dirty = False
+        self._mutlock = threading.RLock()
         self.nb_indexed = 0
 
     def add_codes_from_dict(self, codes_dict):
-        for sid, (coarse, fine) in codes_dict.items():
-            self._coarse.append(coarse)
-            self._fine.append(fine)
-            self._ids2.append(sid)
-        self._dirty = True
+        with self._mutlock:
+            for sid, (coarse, fine) in codes_dict.items():
+                self._coarse.append(coarse)
+                self._fine.append(fine)
+                self._ids2.append(sid)
+            self._dirty = True
 
     def get_nb_indexed(self):
         self._maybe_build()
         return self.nb_indexed
 
     def _maybe_build(self):
+        with self._mutlock:
+            self._maybe_build_locked()
+
+    def _maybe_build_locked(self):
         if self._dirty and self._ids2:
             seen = set()
             coarse, fine, ids = [], [], []
