@@ -294,6 +294,169 @@ def bench_extraction_e2e(args, n_images=512, reps=3):
     }))
 
 
+def bench_serving(args, n_threads=4, reqs_per_thread=10):
+    """HONEST serving latency: HTTP request with an encoded image ->
+    decode -> Sentibank fc7 -> PCA -> probed LOPQ search -> JSON, measured
+    end-to-end through the real server with concurrent clients. This is
+    the reference's headline qualitative claim ('find similar images in
+    less than a second', README.md:13) made quantitative, on the
+    reference's production model type (lopq_pca over 4096-d features)."""
+    import base64
+    import io
+    import json as _json
+    import threading
+    import urllib.request
+
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from columbiaimagesearch_tpu.api.app import make_server
+    from columbiaimagesearch_tpu.index.model import LOPQModelPCA
+    from columbiaimagesearch_tpu.index.tpu_encode import lopq_encode
+    from columbiaimagesearch_tpu.models.sentibank import SentibankFeaturizer
+    from columbiaimagesearch_tpu.searcher.searcher_lopq import SearcherLOPQ
+    from columbiaimagesearch_tpu.utils.chunking import round_up
+
+    t0 = time.time()
+    log(f"devices: {jax.devices()}")
+    D_FEAT, PCA_D = 4096, 256
+    n_index = min(args.index_size, 1 << 20)
+
+    # ---- synthetic 4096-d features, generated/projected on device --------
+    key = jax.random.PRNGKey(0)
+    key, k1 = jax.random.split(key)
+    comp = jax.random.normal(k1, (128, D_FEAT), dtype=jnp.float32)
+    comp = comp / jnp.linalg.norm(comp, axis=1, keepdims=True)
+
+    @jax.jit
+    def synth(key, n_static):
+        kw, kn = jax.random.split(key)
+        which = jax.random.randint(kw, (n_static.shape[0],), 0, 128)
+        return (comp[which] + 0.1 * jax.random.normal(
+            kn, (n_static.shape[0], D_FEAT), dtype=jnp.float32))
+
+    def make(n, k):
+        x = synth(k, jnp.zeros((n,), jnp.int8))
+        return x / jnp.linalg.norm(x, axis=1, keepdims=True)
+
+    key, k2 = jax.random.split(key)
+    train = np.asarray(make(50_000, k2))
+    log(f"[{time.time()-t0:.0f}s] fitting lopq_pca pca{PCA_D} V={args.V}")
+    model = LOPQModelPCA(V=args.V, M=args.M, subquantizer_clusters=256)
+    model.fit(train, pca_dims=PCA_D, kmeans_coarse_iters=10,
+              kmeans_local_iters=10, n_init=1, random_state=0)
+
+    # device-side PCA projection + encode, chunked
+    P = jnp.asarray(model.pca_P)
+    mu = jnp.asarray(model.pca_mu)
+    Cs = jnp.stack([jnp.asarray(C) for C in model.Cs])
+    Rs = jnp.stack([jnp.asarray(R) for R in model.Rs])
+    mus = jnp.stack([jnp.asarray(m) for m in model.mus])
+    subs = jnp.stack([jnp.stack([jnp.asarray(s) for s in h])
+                      for h in model.subquantizers])
+
+    @jax.jit
+    def project(x):
+        xp = jnp.dot(x - mu[None, :], P, precision="highest")
+        return xp / jnp.linalg.norm(xp, axis=1, keepdims=True)
+
+    chunk = 1 << 17
+    co_parts, fi_parts = [], []
+    done = 0
+    while done < n_index:
+        n = round_up(min(chunk, n_index - done), 4096)
+        key, kc = jax.random.split(key)
+        xb = project(make(n, kc))
+        co, fi = lopq_encode(Cs, Rs, mus, subs, xb, chunk=4096)
+        co_parts.append(np.asarray(co))
+        fi_parts.append(np.asarray(fi))
+        done += n
+        log(f"[{time.time()-t0:.0f}s] encoded {min(done, n_index)}/{n_index}")
+    coarse = np.concatenate(co_parts)[:n_index]
+    fine = np.concatenate(fi_parts)[:n_index]
+
+    class _NoFeatEnc:  # renorm flag carrier
+        pass
+
+    searcher = SearcherLOPQ(
+        model=model, model_type="lopq_pca", V=args.V, M=args.M,
+        pca_dims=PCA_D, probe_width=args.probe_width,
+        skip_get_sim_info=True, detector_type="full",
+        featurizer=SentibankFeaturizer(), sim_limit=args.limit)
+    searcher.searcher.add_codes((coarse, fine))
+    log(f"[{time.time()-t0:.0f}s] packed {searcher.get_nb_indexed()} codes; "
+        "starting server")
+
+    server = make_server(searcher, endpoint="cuimgsearch", port=0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+
+    rng = np.random.RandomState(7)
+    b64s = []
+    for i in range(n_threads):
+        img = rng.randint(0, 255, (480, 640, 3), dtype=np.uint8)
+        b = io.BytesIO()
+        Image.fromarray(img).save(b, format="JPEG", quality=85)
+        b64s.append(base64.b64encode(b.getvalue()).decode())
+
+    def query(b64):
+        body = _json.dumps({"data": b64,
+                            "options": {"max_returned": args.limit}}).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/cuimgsearch/byB64", data=body,
+            headers={"Content-Type": "application/json"}, method="POST")
+        s = time.perf_counter()
+        with urllib.request.urlopen(req, timeout=300) as r:
+            out = json.loads(r.read())
+        dt = time.perf_counter() - s
+        n_res = len(out["AllSimilarImages"][0]["SimilarImages"]
+                    ["ImageSha1s"])
+        assert n_res > 0, "no results"
+        return dt
+
+    log(f"[{time.time()-t0:.0f}s] warm-up request (compiles)")
+    query(b64s[0])
+
+    lat = []
+    lock = threading.Lock()
+    errs = []
+
+    def client(tid):
+        try:
+            for _ in range(reqs_per_thread):
+                dt = query(b64s[tid])
+                with lock:
+                    lat.append(dt)
+        except Exception as inst:  # pragma: no cover
+            errs.append(inst)
+
+    s = time.perf_counter()
+    threads = [threading.Thread(target=client, args=(i,))
+               for i in range(n_threads)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - s
+    assert not errs, errs
+    p50 = float(np.median(lat))
+    p99 = float(np.percentile(lat, 99))
+    qps = len(lat) / wall
+    log(f"[{time.time()-t0:.0f}s] {len(lat)} reqs, {n_threads} clients: "
+        f"p50 {p50*1e3:.0f} ms, p99 {p99*1e3:.0f} ms, {qps:.1f} qps")
+    server.shutdown()
+    baseline_s = 1.0  # 'less than a second' (reference README.md:13)
+    print(json.dumps({
+        "metric": "serving_http_image_to_results_p50",
+        "value": round(p50 * 1e3, 1),
+        "unit": "ms",
+        "vs_baseline": round(baseline_s / p50, 2),
+        "extra": {"p99_ms": round(p99 * 1e3, 1), "qps": round(qps, 1),
+                  "clients": n_threads, "nb_indexed": n_index},
+    }))
+
+
 def bench_train(args):
     """LOPQ training throughput: fit the production config (V=4096, M=8,
     S=256) on --train-size synthetic vectors and report wall-clock. The
@@ -350,7 +513,7 @@ def main():
     ap.add_argument("--queries-per-batch", type=int, default=20)
     ap.add_argument("--mode",
                     choices=["query", "extraction", "extraction-e2e",
-                             "searcher", "train"],
+                             "searcher", "serving", "train"],
                     default="query",
                     help="query: p50 ADC latency (headline); extraction: "
                          "device-path Sentibank images/sec/chip; "
@@ -365,6 +528,8 @@ def main():
         return bench_extraction_e2e(args)
     if args.mode == "searcher":
         return bench_searcher(args)
+    if args.mode == "serving":
+        return bench_serving(args)
     if args.mode == "train":
         return bench_train(args)
 
