@@ -206,6 +206,16 @@ class ExhaustiveADC:
                  + coarse[:, 1].astype(np.int64))
         codes_padded, block_cell, block_count, row_of = \
             build_padded_layout(cells, fine)
+        ratio = len(codes_padded) / max(len(cells), 1)
+        if ratio > 8 and len(codes_padded) > (1 << 22):
+            # Only a real-memory problem at scale; tiny test indexes pad
+            # heavily by construction and are fine.
+            raise ValueError(
+                f"exhaustive layout would pad {len(cells)} rows to "
+                f"{len(codes_padded)} ({ratio:.0f}x): cells average far "
+                f"fewer than BLK={BLK} rows at V={self.model.V}. Use the "
+                "probed searcher, or a smaller coarse codebook (the kernel "
+                "is intended for N/V^2 >= ~128, e.g. face indexes)")
         n = len(cells)
         ids_arr = np.empty(n, dtype=object)
         ids_arr[:] = (list(ids) if ids is not None else range(n))
