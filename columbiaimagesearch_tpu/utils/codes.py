@@ -82,7 +82,18 @@ class IncrementalDedup:
 
     def __init__(self):
         self._id_index = {}
+        self._bulk_uniques = None  # lazily materialized into _id_index
         self._keys = None
+
+    def _materialize(self):
+        """Turn a deferred bulk factorize result into the intern dict
+        (only needed once incremental appends start)."""
+        if self._bulk_uniques is not None:
+            uniques, had_nan = self._bulk_uniques
+            self._id_index = dict(zip(list(uniques), range(len(uniques))))
+            if had_nan:
+                self._id_index[None] = len(self._id_index)
+            self._bulk_uniques = None
 
     def filter_new(self, cells_new, ids_new):
         """Keep-mask over the new rows: first occurrence of a never-seen
@@ -90,21 +101,23 @@ class IncrementalDedup:
         n = len(cells_new)
         idx = np.empty(n, dtype=np.int64)
         d = self._id_index
-        if not d and n > 100_000:
-            # Bulk path: hash-based factorize, then materialize the table.
+        if not d and self._bulk_uniques is None and n > 100_000:
+            # Bulk path: hash-based factorize; defer the Python dict build
+            # (10-15 s at 10M ids) until an incremental append needs it.
             import pandas as pd
 
             codes_i, uniques = pd.factorize(ids_new)
             idx[:] = codes_i
-            self._id_index = dict(zip(list(uniques), range(len(uniques))))
-            if idx.min() < 0:
+            had_nan = bool(idx.min() < 0)
+            if had_nan:
                 # NaN-like ids get factorize's -1 sentinel; give them one
                 # dedicated dense code (an OR with -1 would collapse keys
                 # across cells).
-                nan_code = len(self._id_index)
-                self._id_index[None] = nan_code
-                idx[idx < 0] = nan_code
+                idx[idx < 0] = len(uniques)
+            self._bulk_uniques = (uniques, had_nan)
         else:
+            self._materialize()
+            d = self._id_index
             for i, x in enumerate(ids_new):
                 v = d.get(x)
                 if v is None:
