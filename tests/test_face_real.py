@@ -122,3 +122,30 @@ def test_face_weights_persistence_and_autoload(tmp_path, monkeypatch, hopper):
 
     monkeypatch.setenv("FACE_WEIGHTS", str(tmp_path / "missing.npz"))
     assert not FaceEmbedder().pretrained
+
+
+def test_aligned_embedding_path_on_real_photo(hopper):
+    """FaceEmbedder(aligner=...) produces stable 150x150 aligned chips and
+    embeddings on the real photo (the reference's dlib get_face_chip
+    alignment role, featurizer/dlib_featurizer.py:86-105)."""
+    from columbiaimagesearch_tpu.models.face import CHIP_SIZE, FaceEmbedder
+    from columbiaimagesearch_tpu.models.face_align import FaceAligner
+
+    aligner = FaceAligner()
+    bbox = {"left": 175, "top": 140, "right": 360, "bottom": 380,
+            "score": 1.0}
+    chips = aligner.align(hopper, [bbox])
+    assert chips.shape == (1, CHIP_SIZE, CHIP_SIZE, 3)
+    assert np.isfinite(chips).all() and chips.std() > 1.0  # real content
+
+    emb = FaceEmbedder(aligner=aligner)
+    e1 = emb.featurize(hopper, bbox)
+    assert e1.shape == (128,) and np.isfinite(e1).all()
+    # Small bbox jitter -> the aligned chip (hence embedding) stays close
+    # relative to a non-face region.
+    e2 = emb.featurize(hopper, {**bbox, "left": 183, "top": 147,
+                                "right": 368, "bottom": 387})
+    bg = emb.featurize(hopper, {"left": 0, "top": 0, "right": 150,
+                                "bottom": 320, "score": 1.0})
+    n = lambda v: v / (np.linalg.norm(v) + 1e-30)  # noqa: E731
+    assert np.linalg.norm(n(e1) - n(e2)) < np.linalg.norm(n(e1) - n(bg))
