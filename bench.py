@@ -510,7 +510,10 @@ def main():
     ap.add_argument("--quota", type=int, default=10_000)
     ap.add_argument("--limit", type=int, default=100)
     ap.add_argument("--batches", type=int, default=5)
-    ap.add_argument("--queries-per-batch", type=int, default=20)
+    # 100 queries per chained-scan dispatch: the ~30 ms tunnel round-trip
+    # amortizes to 0.3 ms/query (at 20 it contaminated the p50 by ~1.4
+    # ms/query; measured in scripts/profile_query.py, round 2).
+    ap.add_argument("--queries-per-batch", type=int, default=100)
     ap.add_argument("--mode",
                     choices=["query", "extraction", "extraction-e2e",
                              "searcher", "serving", "train"],
@@ -563,7 +566,7 @@ def main():
         def step(carry, q):
             rows, dists, total, nc = lopq_query(
                 q + carry * 1e-12, Cs, Rs, mus, subs, codes, cell_start,
-                quota, V=args.V, B=B, Q=Q, K=K)
+                quota, V=args.V, B=B, Q=Q, K=K, lut_impl="auto")
             return dists[0], (rows[:args.limit], dists[:args.limit])
         last, outs = jax.lax.scan(step, jnp.float32(0), queries)
         return last, outs

@@ -438,7 +438,7 @@ class LOPQSearcherTPU(LOPQSearcherBase):
             jnp.asarray(np.asarray(x, dtype=np.float32)),
             d["Cs"], d["Rs"], d["mus"], d["subs"],
             d["codes"], d["cell_start"], d["order"], quota,
-            V=V, B=B, Q=Q, K=K_pad)
+            V=V, B=B, Q=Q, K=K_pad, lut_impl="auto")
         rows = np.asarray(rows)[:K]
         dists = np.asarray(dists)[:K]
         return (self._rows_to_results(rows, dists, with_dists, ids_arr,

@@ -11,24 +11,129 @@ static-shape XLA program:
 2. top-B clusters per split; the B x B cell grid sorted by approximate
    distance is the multisequence visitation order,
 3. ragged cell buckets resolved to a fixed candidate budget Q via cumsum +
-   searchsorted over the CSR ``cell_start`` table,
-4. ADC lookup tables built only for the 2B probed clusters,
-5. distance = 8 LUT gathers per candidate, masked top-K.
+   a scatter-add bucket map over the CSR ``cell_start`` table,
+4. ADC lookup tables for the 2B probed clusters,
+5. distance per candidate via one-hot MXU contractions, masked top-K.
 
 The index layout is CSR: codes sorted by cell id with a [V^2 + 1] offsets
 table, so a cell's bucket is one contiguous slice (the role the LMDB
 prefix-scan plays in the reference, lopq/lopq/search.py:472-499).
+
+TPU shape notes (stage-profiled on v5e at the 10M/V=4096 headline config,
+scripts/profile_query.py / profile_lut.py, round 2):
+
+- The rotation matrices are applied with one streaming batched matvec over
+  ALL V clusters and the B probed rows gathered *afterwards* ([V, Dh] rows
+  are cheap to gather; [V, Dh, Dh] rows are not: XLA's gather of 64
+  rotation matrices measured 1.69 ms vs 0.76 ms for the full-V stream —
+  HBM-bandwidth-bound vs gather-latency-bound). Under vmap the stream is
+  shared by the whole query batch.
+- Per-candidate LUT lookups are one-hot [Q, F*S] x [F*S, B] MXU
+  contractions instead of gathers (0.15 ms vs 0.73 ms measured): gathers
+  are the TPU's weakness, matmuls its strength. The one-hot operand is
+  bfloat16 (0/1 exact); the table side stays float32 and the contraction
+  runs at HIGHEST precision, so products are exact and only the f32
+  accumulation order differs from the gather formulation.
+- The per-candidate bucket metadata (cell start / cumulative counts /
+  probe-slot ids) is packed into one [B*B, 8] table so slot resolution is
+  a single row gather instead of five scalar gathers.
 """
 
 import functools
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
+
+def pallas_compiled_ok():
+    """True when Pallas kernels can run compiled on the default backend
+    (TPU); elsewhere kernels fall back to interpret mode / the streaming
+    XLA path."""
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover - backend init failure
+        return False
+
+
+def _lut_kernel(isel_ref, x2_ref, c_ref, mu_ref, rf_ref, subs_ref,
+                subsq_ref, out_ref):
+    """One grid step = one probed cluster of one split: DMA its [Dh, Dh]
+    rotation row (via the scalar-prefetched index map), rotate the residual
+    on the MXU, and emit the [F, S] subquantizer distance table.
+
+    Every op stays 2D (Mosaic rejects cross-lane reshapes): the rotation
+    row arrives pre-split per fine split as [F, Dsub, Dh], and the table
+    uses the expansion ||pr - sub||^2 = ||pr||^2 - 2 pr.sub + ||sub||^2,
+    making the inner products MXU contractions. Cs/mus arrive as
+    [2, V, 1, Dh] (the gathered V axis must stay out of the last two dims
+    for Mosaic's block-shape rules)."""
+    s = pl.program_id(0)
+    r = x2_ref[pl.ds(s, 1), :] - c_ref[0, 0] - mu_ref[0, 0]     # [1, Dh]
+    F = subs_ref.shape[1]
+    for f in range(F):  # static unroll (F=M/2, small)
+        # pr_f[d] = sum_j R[f*Dsub + d, j] * r[j]
+        prf = jax.lax.dot_general(
+            r, rf_ref[0, 0, f],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)                 # [1, Dsub]
+        cross = jax.lax.dot_general(
+            prf, subs_ref[0, f],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)                 # [1, S]
+        psum = jnp.sum(prf * prf)
+        out_ref[0, 0, pl.ds(f, 1), :] = (
+            psum - 2.0 * cross + subsq_ref[0, pl.ds(f, 1), :])
+
+
+def build_luts_pallas(x2, isel, Cs, Rs, mus, subs, *, interpret):
+    """ADC tables for the probed clusters via per-cluster DMA.
+
+    Gathering B rotation matrices with XLA costs 1.69 ms at V=4096 on v5e
+    (gather-latency-bound); this kernel instead uses the scalar-prefetched
+    ``isel`` in the block index maps, so Mosaic pipelines one 65 KB
+    rotation-row DMA per grid step — only the probed rows ever leave HBM.
+
+    :param x2: [2, Dh] query halves
+    :param isel: [2, B] int32 probed cluster ids per split
+    :returns: (lut0 [B, F, S], lut1 [B, F, S]) float32
+    """
+    B = isel.shape[1]
+    Dh = Cs.shape[2]
+    F, S, Dsub = subs.shape[1], subs.shape[2], subs.shape[3]
+    V = Cs.shape[1]
+    subsq = jnp.sum(subs * subs, axis=-1)  # [2, F, S]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(2, B),
+        in_specs=[
+            pl.BlockSpec((2, Dh), lambda s, b, isel: (0, 0)),
+            pl.BlockSpec((1, 1, 1, Dh),
+                         lambda s, b, isel: (s, isel[s, b], 0, 0)),
+            pl.BlockSpec((1, 1, 1, Dh),
+                         lambda s, b, isel: (s, isel[s, b], 0, 0)),
+            pl.BlockSpec((1, 1, F, Dsub, Dh),
+                         lambda s, b, isel: (s, isel[s, b], 0, 0, 0)),
+            pl.BlockSpec((1, F, S, Dsub), lambda s, b, isel: (s, 0, 0, 0)),
+            pl.BlockSpec((1, F, S), lambda s, b, isel: (s, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, F, S), lambda s, b, isel: (s, b, 0, 0)),
+    )
+    out = pl.pallas_call(
+        _lut_kernel,
+        out_shape=jax.ShapeDtypeStruct((2, B, F, S), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(isel, x2, Cs.reshape(2, V, 1, Dh), mus.reshape(2, V, 1, Dh),
+      Rs.reshape(2, V, F, Dsub, Dh), subs, subsq)
+    return out[0], out[1]
 
 
 @functools.partial(
-    jax.jit, static_argnames=("V", "B", "Q", "K"))
+    jax.jit, static_argnames=("V", "B", "Q", "K", "lut_impl"))
 def lopq_query(
     x,            # [D] float32 query (already PCA-projected if applicable)
     Cs,           # [2, V, Dh] coarse codebooks
@@ -43,6 +148,7 @@ def lopq_query(
     B: int,       # probed clusters per split (B*B candidate cells)
     Q: int,       # candidate budget (static padding)
     K: int,       # results to return
+    lut_impl: str = "stream",  # "stream" | "pallas" | "auto"
 ):
     """Returns (top_rows [K] int32, top_dists [K] f32, n_candidates, n_cells).
 
@@ -75,8 +181,12 @@ def lopq_query(
     cell_ids = i0[a_idx] * V + i1[b_idx]             # [B*B] global cell ids
 
     # --- 3. ragged buckets -> fixed Q candidate slots ----------------------
-    starts = cell_start[cell_ids]
-    counts = cell_start[cell_ids + 1] - starts       # [B*B]
+    # One 2-wide sliced gather for (start, end) per probed cell instead of
+    # two scalar gathers from the [V^2+1] offsets table.
+    bounds = cell_start[cell_ids[:, None]
+                        + jnp.arange(2, dtype=jnp.int32)[None, :]]  # [B*B, 2]
+    starts = bounds[:, 0]
+    counts = bounds[:, 1] - starts                   # [B*B]
     csum = jnp.cumsum(counts)
     # Visit cells in order until the quota is covered; the crossing cell is
     # included whole (reference get_result_quota semantics).
@@ -94,23 +204,45 @@ def lopq_query(
     markers = jnp.zeros(Q + 1, jnp.int32).at[jnp.minimum(scs, Q)].add(1)
     b_for_j = jnp.cumsum(markers)[:Q]
     b_for_j = jnp.minimum(b_for_j, B * B - 1)
-    bucket_begin = scs[b_for_j] - sel_counts[b_for_j]
-    rows = starts[b_for_j] + (j - bucket_begin)
+    # Per-cell metadata packed into one row-gatherable table: one [Q, 8]
+    # row gather replaces five [Q]-element scalar gathers.
+    meta = jnp.stack(
+        [scs, sel_counts, starts, a_idx, b_idx,
+         jnp.zeros_like(scs), jnp.zeros_like(scs), jnp.zeros_like(scs)],
+        axis=1)                                       # [B*B, 8]
+    mrow = meta[b_for_j]                              # [Q, 8]
+    bucket_begin = mrow[:, 0] - mrow[:, 1]
+    rows = mrow[:, 2] + (j - bucket_begin)
+    slot0 = mrow[:, 3]                                # [Q] index into lut0
+    slot1 = mrow[:, 4]
     valid = j < jnp.minimum(total, Q)
     rows = jnp.where(valid, rows, 0)
 
     # --- 4. ADC lookup tables for the probed clusters ----------------------
-    def build_lut(s, sel):
-        Csel = Cs[s][sel]                      # [B, Dh]
-        r = x2[s][None, :] - Csel - mus[s][sel]
-        pr = jnp.einsum("bij,bj->bi", Rs[s][sel], r,
-                        precision="highest")   # [B, Dh] local frame
-        prf = pr.reshape(B, F, Dsub)
-        diff = prf[:, :, None, :] - subs[s][None, :, :, :]
-        return jnp.sum(diff * diff, axis=-1)   # [B, F, S]
+    # "pallas": per-cluster DMA kernel (fastest single-query path; not
+    # vmap-safe). "stream": rotate residuals for ALL V clusters with one
+    # streaming batched matvec, then gather the B probed [Dh] rows (cheap;
+    # gathering the [Dh, Dh] rotation matrices themselves is pathological
+    # for XLA — see module docstring perf notes). "auto" picks pallas on a
+    # TPU backend, stream elsewhere.
+    if lut_impl == "auto":
+        lut_impl = "pallas" if pallas_compiled_ok() else "stream"
+    if lut_impl == "pallas":
+        lut0, lut1 = build_luts_pallas(
+            x2, jnp.stack([i0, i1]), Cs, Rs, mus, subs,
+            interpret=not pallas_compiled_ok())
+    else:
 
-    lut0 = build_lut(0, i0)
-    lut1 = build_lut(1, i1)
+        def build_lut(s, sel):
+            r = x2[s][None, :] - Cs[s] - mus[s]        # [V, Dh]
+            pr_all = jnp.einsum("vij,vj->vi", Rs[s], r,
+                                precision="highest")   # [V, Dh] local frames
+            prf = pr_all[sel].reshape(B, F, Dsub)
+            diff = prf[:, :, None, :] - subs[s][None, :, :, :]
+            return jnp.sum(diff * diff, axis=-1)       # [B, F, S]
+
+        lut0 = build_lut(0, i0)
+        lut1 = build_lut(1, i1)
 
     # --- 5. ADC distances + masked top-K -----------------------------------
     if codes.dtype == jnp.uint32:
@@ -122,15 +254,25 @@ def lopq_query(
         cand_codes = bytes_.reshape(rows.shape[0], -1).astype(jnp.int32)
     else:
         cand_codes = codes[rows].astype(jnp.int32)    # [Q, M]
-    slot0 = a_idx[b_for_j]                            # [Q] index into lut0
-    slot1 = b_idx[b_for_j]
-    f_idx = jnp.arange(F, dtype=jnp.int32)[None, :]   # [1, F]
 
-    flat0 = lut0.reshape(B * F * S)
-    flat1 = lut1.reshape(B * F * S)
-    g0 = flat0[(slot0[:, None] * F + f_idx) * S + cand_codes[:, :F]]
-    g1 = flat1[(slot1[:, None] * F + f_idx) * S + cand_codes[:, F:]]
-    dists = jnp.sum(g0, axis=1) + jnp.sum(g1, axis=1)
+    # One-hot MXU contraction per half: P[q, b] = sum_f lut[b, f, code_qf];
+    # the probed-slot column is then selected with a second (tiny) one-hot
+    # multiply-reduce. 0/1 one-hots are exact in bfloat16 and HIGHEST keeps
+    # the f32 table values exact through the MXU.
+    iota_s = jnp.arange(S, dtype=jnp.int32)
+    oh0 = (cand_codes[:, :F, None] == iota_s).reshape(
+        rows.shape[0], F * S).astype(jnp.bfloat16)
+    oh1 = (cand_codes[:, F:, None] == iota_s).reshape(
+        rows.shape[0], F * S).astype(jnp.bfloat16)
+    P0 = jnp.einsum("qk,bk->qb", oh0, lut0.reshape(B, F * S),
+                    precision="highest",
+                    preferred_element_type=jnp.float32)   # [Q, B]
+    P1 = jnp.einsum("qk,bk->qb", oh1, lut1.reshape(B, F * S),
+                    precision="highest",
+                    preferred_element_type=jnp.float32)
+    iota_b = jnp.arange(B, dtype=jnp.int32)
+    dists = (jnp.sum(P0 * (slot0[:, None] == iota_b), axis=1)
+             + jnp.sum(P1 * (slot1[:, None] == iota_b), axis=1))
     dists = jnp.where(valid, dists, jnp.inf)
 
     top_neg, top_idx = jax.lax.top_k(-dists, K)
@@ -138,14 +280,17 @@ def lopq_query(
     return top_rows, -top_neg, total, n_cells
 
 
-@functools.partial(jax.jit, static_argnames=("V", "B", "Q", "K"))
+@functools.partial(jax.jit,
+                   static_argnames=("V", "B", "Q", "K", "lut_impl"))
 def lopq_query_orig(x, Cs, Rs, mus, subs, codes, cell_start, order, quota,
-                    *, V: int, B: int, Q: int, K: int):
+                    *, V: int, B: int, Q: int, K: int,
+                    lut_impl: str = "stream"):
     """``lopq_query`` + mapping of sorted-row hits back to insertion-order
     row indices via the ``order`` permutation (see csr.append_and_build_csr).
     One jit: the gather fuses with the query instead of costing an extra
     dispatch per call."""
     rows, dists, total, n_cells = lopq_query(
-        x, Cs, Rs, mus, subs, codes, cell_start, quota, V=V, B=B, Q=Q, K=K)
+        x, Cs, Rs, mus, subs, codes, cell_start, quota, V=V, B=B, Q=Q, K=K,
+        lut_impl=lut_impl)
     rows = jnp.where(rows >= 0, order[jnp.maximum(rows, 0)], -1)
     return rows, dists, total, n_cells
