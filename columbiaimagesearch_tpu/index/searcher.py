@@ -356,14 +356,27 @@ class LOPQSearcherTPU(LOPQSearcherBase):
 
     # --------------------------------------------------------------- search
 
-    def search_batch(self, X, quota=10, limit=None, with_dists=False):
+    def search_batch(self, X, quota=10, limit=None, with_dists=False,
+                     with_codes=False):
         """vmap-batched queries: one device launch for len(X) queries
-        (~20% lower per-query latency and one dispatch; serving throughput
-        mode). Returns a list of (results, visited) pairs."""
+        (one dispatch; serving throughput mode). Returns a list of
+        (results, visited) pairs.
+
+        Serving-path host costs are trimmed: rows/dists/visited come back
+        in ONE packed device-to-host transfer (each blocking sync costs
+        ~27 ms through the dev relay, and round trips are never free), and
+        result codes are only materialized when ``with_codes=True`` (the
+        LOPQCode tuples cost ~10 numpy scalar constructions per result and
+        no serving consumer reads them — pass with_codes for the reference
+        (id, code) result contract)."""
         import jax
         import jax.numpy as jnp
 
-        from columbiaimagesearch_tpu.index.tpu_query import lopq_query_orig
+        from columbiaimagesearch_tpu.index.tpu_query import (
+            lopq_query_orig,
+            pack_rows_dists_ncells,
+            unpack_rows_dists_ncells,
+        )
 
         X = np.asarray(X, dtype=np.float32)
         if isinstance(self.model, LOPQModelPCA):
@@ -379,26 +392,27 @@ class LOPQSearcherTPU(LOPQSearcherBase):
         K_pad = min(round_up(K, 16), Q)
 
         def qfn(q, Cs, Rs, mus, subs, codes, cell_start, order, qq):
-            return lopq_query_orig(q, Cs, Rs, mus, subs, codes, cell_start,
-                                   order, qq, V=V, B=B, Q=Q, K=K_pad)
+            rows, dists, total, ncells = lopq_query_orig(
+                q, Cs, Rs, mus, subs, codes, cell_start,
+                order, qq, V=V, B=B, Q=Q, K=K_pad)
+            return pack_rows_dists_ncells(rows, dists, ncells)
 
         batched = jax.vmap(qfn, in_axes=(0,) + (None,) * 8)
-        rows_b, dists_b, _, ncells_b = batched(
+        packed = np.asarray(batched(
             jnp.asarray(X), d["Cs"], d["Rs"], d["mus"], d["subs"],
             d["codes"], d["cell_start"], d["order"],
-            jnp.asarray(quota, dtype=jnp.int32))
-        rows_b = np.asarray(rows_b)
-        dists_b = np.asarray(dists_b)
-        ncells_b = np.asarray(ncells_b)
+            jnp.asarray(quota, dtype=jnp.int32)))        # one D2H sync
+        rows_b, dists_b, ncells_b = unpack_rows_dists_ncells(packed, K_pad)
         return [
             (self._rows_to_results(rows_b[i][:K], dists_b[i][:K], with_dists,
-                                   ids_arr, cells_arr, fine_arr),
+                                   ids_arr, cells_arr, fine_arr,
+                                   with_codes=with_codes),
              int(ncells_b[i]))
             for i in range(len(X))
         ]
 
     def _rows_to_results(self, rows, dists, with_dists, ids_arr, cells_arr,
-                         fine_arr):
+                         fine_arr, with_codes=True):
         V_, S = self.model.V, self.model.subquantizer_clusters
         cdt, fdt = code_dtype_for(V_), code_dtype_for(S)
         ids = (ids_arr if ids_arr is not None
@@ -407,9 +421,12 @@ class LOPQSearcherTPU(LOPQSearcherBase):
         for r, dist in zip(rows, dists):
             if r < 0 or not np.isfinite(dist):
                 continue
-            coarse = (cdt(cells_arr[r] // V_), cdt(cells_arr[r] % V_))
-            fine = tuple(fdt(v) for v in fine_arr[r])
-            code = LOPQCode(coarse, fine)
+            if with_codes:
+                coarse = (cdt(cells_arr[r] // V_), cdt(cells_arr[r] % V_))
+                fine = tuple(fdt(v) for v in fine_arr[r])
+                code = LOPQCode(coarse, fine)
+            else:
+                code = None
             if with_dists:
                 out.append(ResultDist(ids[r], code, float(dist)))
             else:
@@ -420,7 +437,11 @@ class LOPQSearcherTPU(LOPQSearcherBase):
         """Fused device query; same contract as the parity searcher."""
         import jax.numpy as jnp
 
-        from columbiaimagesearch_tpu.index.tpu_query import lopq_query_orig
+        from columbiaimagesearch_tpu.index.tpu_query import (
+            lopq_query_orig,
+            pack_rows_dists_ncells,
+            unpack_rows_dists_ncells,
+        )
 
         if isinstance(self.model, LOPQModelPCA):
             x = self.model.apply_PCA(x)
@@ -439,7 +460,9 @@ class LOPQSearcherTPU(LOPQSearcherBase):
             d["Cs"], d["Rs"], d["mus"], d["subs"],
             d["codes"], d["cell_start"], d["order"], quota,
             V=V, B=B, Q=Q, K=K_pad, lut_impl="auto")
-        rows = np.asarray(rows)[:K]
-        dists = np.asarray(dists)[:K]
-        return (self._rows_to_results(rows, dists, with_dists, ids_arr,
-                                      cells_arr, fine_arr), int(n_cells))
+        packed = np.asarray(
+            pack_rows_dists_ncells(rows, dists, n_cells))  # one D2H sync
+        rows, dists, n_cells = unpack_rows_dists_ncells(packed, K_pad)
+        return (self._rows_to_results(rows[:K], dists[:K], with_dists,
+                                      ids_arr, cells_arr, fine_arr),
+                int(n_cells))

@@ -280,6 +280,28 @@ def lopq_query(
     return top_rows, -top_neg, total, n_cells
 
 
+@jax.jit
+def pack_rows_dists_ncells(rows, dists, n_cells):
+    """Pack query outputs into one int32 vector ([K] rows, [K] bitcast
+    dists, [1] visited-cells) so the host needs a single blocking
+    device-to-host sync instead of three (each sync costs ~27 ms through
+    the dev relay; fewer round trips also help directly-attached chips)."""
+    return jnp.concatenate([
+        rows,
+        jax.lax.bitcast_convert_type(dists, jnp.int32),
+        jnp.reshape(n_cells, (1,)).astype(jnp.int32)])
+
+
+def unpack_rows_dists_ncells(packed, K_pad):
+    """Host-side inverse of :func:`pack_rows_dists_ncells` (numpy)."""
+    import numpy as np
+
+    rows = packed[..., :K_pad]
+    dists = np.ascontiguousarray(
+        packed[..., K_pad:2 * K_pad]).view(np.float32)
+    return rows, dists, packed[..., 2 * K_pad]
+
+
 @functools.partial(jax.jit,
                    static_argnames=("V", "B", "Q", "K", "lut_impl"))
 def lopq_query_orig(x, Cs, Rs, mus, subs, codes, cell_start, order, quota,
