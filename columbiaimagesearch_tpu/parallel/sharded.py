@@ -21,7 +21,11 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from columbiaimagesearch_tpu.index.tpu_encode import lopq_encode
-from columbiaimagesearch_tpu.index.tpu_query import lopq_query
+from columbiaimagesearch_tpu.index.tpu_query import (
+    lopq_query,
+    pack_rows_dists_ncells,
+    unpack_rows_dists_ncells,
+)
 from columbiaimagesearch_tpu.parallel.mesh import SHARD_AXIS, make_mesh, shard_rows
 from columbiaimagesearch_tpu.utils.chunking import round_up
 
@@ -288,17 +292,18 @@ class ShardedLOPQIndex:
             all_rows = jax.lax.all_gather(rows_g, SHARD_AXIS).reshape(-1)
             all_dists = jax.lax.all_gather(dists, SHARD_AXIS).reshape(-1)
             top_neg, top_i = jax.lax.top_k(-all_dists, K)
-            return (all_rows[top_i][None], (-top_neg)[None],
-                    jax.lax.psum(total, SHARD_AXIS)[None],
-                    jax.lax.psum(ncells, SHARD_AXIS)[None])
+            # One packed int32 return -> one host sync (see tpu_query
+            # pack_rows_dists_ncells).
+            return pack_rows_dists_ncells(
+                all_rows[top_i], -top_neg,
+                jax.lax.psum(ncells, SHARD_AXIS))[None]
 
         fn = jax.jit(jax.shard_map(
             shard_query,
             mesh=mesh,
             in_specs=(P(), P(), P(), P(), P(), P(SHARD_AXIS), P(SHARD_AXIS),
                       P(SHARD_AXIS), P()),
-            out_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS),
-                       P(SHARD_AXIS)),
+            out_specs=P(SHARD_AXIS),
         ))
         self._qfns[key] = fn
         return fn
@@ -322,19 +327,19 @@ class ShardedLOPQIndex:
         qfn = self._query_fn(V, B, Q, K_pad)
         d = self._dev          # snapshot (swapped atomically on refresh)
         ids_snap = self._ids
-        rows, dists, total, ncells = qfn(
+        packed = qfn(
             jnp.asarray(x, dtype=jnp.float32), d["Cs"], d["Rs"], d["mus"],
             d["subs"], d["codes"], d["cell_start"], d["order"],
             jnp.asarray(quota, dtype=jnp.int32))
         # Every shard returns the same merged top-k; take shard 0's copy.
-        rows = np.asarray(rows)[0]
-        dists = np.asarray(dists)[0]
+        packed = np.asarray(packed)[0]                    # one D2H sync
+        rows, dists, ncells = unpack_rows_dists_ncells(packed, K_pad)
         out = []
         for r, dist in zip(rows[:K], dists[:K]):
             if r < 0 or not np.isfinite(dist):
                 continue
             out.append((ids_snap[int(r)], float(dist)))
-        return out, int(np.asarray(ncells)[0])
+        return out, int(ncells)
 
 
 class ShardedLOPQSearcher:
