@@ -70,19 +70,32 @@ def main():
     else:
         queries = synth(args.queries, 3)
 
-    # Brute-force ground truth on device, chunked.
+    # Brute-force ground truth, streaming X from host in chunks so the
+    # raw vectors never need to fit in HBM (at n=10.5M, dim=256 the full
+    # matrix is 10.7 GB — holding it twice OOMs a 16 GB chip).
     print(f"[{time.time()-t0:.0f}s] brute-force ground truth",
           file=sys.stderr, flush=True)
-    Xd = jnp.asarray(X)
     qd = jnp.asarray(queries)
 
     @jax.jit
-    def true_nn(qd, Xd):
-        d = (jnp.sum(Xd * Xd, 1)[None, :]
-             - 2.0 * jnp.dot(qd, Xd.T, preferred_element_type=jnp.float32))
-        return jnp.argmin(d, axis=1)
+    def chunk_nn(qd, Xc, best_d, best_i, base):
+        d = (jnp.sum(Xc * Xc, 1)[None, :]
+             - 2.0 * jnp.dot(qd, Xc.T, preferred_element_type=jnp.float32))
+        i = jnp.argmin(d, axis=1)
+        dmin = jnp.take_along_axis(d, i[:, None], axis=1)[:, 0]
+        upd = dmin < best_d
+        return (jnp.where(upd, dmin, best_d),
+                jnp.where(upd, base + i, best_i))
 
-    nns = np.asarray(true_nn(qd, Xd))
+    best_d = jnp.full(len(queries), np.inf, jnp.float32)
+    best_i = jnp.zeros(len(queries), jnp.int64 if args.n > (1 << 31)
+                       else jnp.int32)
+    gt_chunk = 1 << 21
+    for s0 in range(0, args.n, gt_chunk):
+        best_d, best_i = chunk_nn(
+            qd, jnp.asarray(X[s0:s0 + gt_chunk]), best_d, best_i,
+            jnp.asarray(s0, best_i.dtype))
+    nns = np.asarray(best_i)
 
     Cs = jnp.stack([jnp.asarray(C) for C in model.Cs])
     Rs = jnp.stack([jnp.asarray(R) for R in model.Rs])
@@ -93,10 +106,20 @@ def main():
           flush=True)
     from columbiaimagesearch_tpu.utils.chunking import round_up
 
-    Xp = np.pad(X, [(0, round_up(args.n, 4096) - args.n), (0, 0)])
-    coarse, fine = lopq_encode(Cs, Rs, mus, subs, jnp.asarray(Xp), chunk=4096)
-    coarse = np.asarray(coarse)[:args.n]
-    fine = np.asarray(fine)[:args.n].astype(np.uint8)
+    # Encode in host-streamed slabs (same HBM reasoning as ground truth).
+    enc_chunk = 1 << 21
+    co_parts, fi_parts = [], []
+    for s0 in range(0, args.n, enc_chunk):
+        xc = X[s0:s0 + enc_chunk]
+        n_real = len(xc)
+        pad = round_up(n_real, 4096) - n_real
+        if pad:
+            xc = np.pad(xc, [(0, pad), (0, 0)])
+        co, fi = lopq_encode(Cs, Rs, mus, subs, jnp.asarray(xc), chunk=4096)
+        co_parts.append(np.asarray(co)[:n_real])
+        fi_parts.append(np.asarray(fi)[:n_real])
+    coarse = np.concatenate(co_parts)[:args.n]
+    fine = np.concatenate(fi_parts)[:args.n].astype(np.uint8)
 
     def recall(search_fn, label):
         hits = {1: 0, 10: 0, 100: 0}

@@ -60,6 +60,34 @@ def test_pallas_lut_matches_stream(setup):
         assert int(a[2]) == int(b[2]) and int(a[3]) == int(b[3])
 
 
+def test_pack_unpack_rows_dists_ncells_roundtrip():
+    import jax.numpy as jnp
+
+    from columbiaimagesearch_tpu.index.tpu_query import (
+        pack_rows_dists_ncells,
+        unpack_rows_dists_ncells,
+    )
+
+    rng = np.random.RandomState(0)
+    K = 48
+    rows = rng.randint(-1, 1 << 30, K).astype(np.int32)
+    dists = np.concatenate(
+        [rng.rand(K - 2).astype(np.float32) * 1e6, [np.inf, 0.0]]
+    ).astype(np.float32)
+    packed = np.asarray(pack_rows_dists_ncells(
+        jnp.asarray(rows), jnp.asarray(dists), jnp.asarray(7)))
+    r2, d2, n2 = unpack_rows_dists_ncells(packed, K)
+    np.testing.assert_array_equal(r2, rows)
+    np.testing.assert_array_equal(d2, dists)  # bit-exact incl. inf
+    assert int(n2) == 7
+    # batched form (as search_batch produces)
+    packed2 = np.stack([packed, packed])
+    r3, d3, n3 = unpack_rows_dists_ncells(packed2, K)
+    assert r3.shape == (2, K) and d3.shape == (2, K)
+    np.testing.assert_array_equal(d3[1], dists)
+    np.testing.assert_array_equal(n3, [7, 7])
+
+
 def test_query_distances_match_numpy_oracle(setup):
     """Both impls against the independent numpy ADC oracle (not against
     each other): top hits' distances must equal the oracle's ADC distance
