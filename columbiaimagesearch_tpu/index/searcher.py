@@ -417,16 +417,25 @@ class LOPQSearcherTPU(LOPQSearcherBase):
         cdt, fdt = code_dtype_for(V_), code_dtype_for(S)
         ids = (ids_arr if ids_arr is not None
                else np.arange(len(cells_arr)))
+        if not with_codes:
+            # Serving hot path: one vectorized mask + fancy index instead
+            # of per-row numpy scalar checks (~0.3 ms/query at K=100 on
+            # one host core).
+            rows = np.asarray(rows)
+            dists = np.asarray(dists)
+            mask = (rows >= 0) & np.isfinite(dists)
+            sel_ids = ids[rows[mask]]
+            if with_dists:
+                return [ResultDist(i, None, d)
+                        for i, d in zip(sel_ids, dists[mask].tolist())]
+            return [Result(i, None) for i in sel_ids]
         out = []
         for r, dist in zip(rows, dists):
             if r < 0 or not np.isfinite(dist):
                 continue
-            if with_codes:
-                coarse = (cdt(cells_arr[r] // V_), cdt(cells_arr[r] % V_))
-                fine = tuple(fdt(v) for v in fine_arr[r])
-                code = LOPQCode(coarse, fine)
-            else:
-                code = None
+            coarse = (cdt(cells_arr[r] // V_), cdt(cells_arr[r] % V_))
+            fine = tuple(fdt(v) for v in fine_arr[r])
+            code = LOPQCode(coarse, fine)
             if with_dists:
                 out.append(ResultDist(ids[r], code, float(dist)))
             else:
