@@ -286,6 +286,11 @@ class LOPQSearcherTPU(LOPQSearcherBase):
                     [jnp.stack([jnp.asarray(s) for s in half])
                      for half in self.model.subquantizers]),
             }
+            if isinstance(self.model, LOPQModelPCA):
+                # For the fused device serving path (search_device_feats):
+                # PCA happens on device, features never visit the host.
+                self._dev["pca_P"] = jnp.asarray(self.model.pca_P)
+                self._dev["pca_mu"] = jnp.asarray(self.model.pca_mu)
 
         M = self._fine.shape[1]
         sentinel = V * V
@@ -441,6 +446,50 @@ class LOPQSearcherTPU(LOPQSearcherBase):
             else:
                 out.append(Result(ids[r], code))
         return out
+
+    def search_device_feats(self, feats_dev, quota=10, limit=None,
+                            with_dists=True):
+        """Serving fast path: RAW device-resident features (straight from
+        the featurizer forward, pre-normalize, pre-PCA) -> results, in one
+        program + one device-to-host sync. Results carry code=None (like
+        the sharded/exhaustive backends). Returns [(results, visited)] per
+        query, same structure as :meth:`search_batch`."""
+        import jax.numpy as jnp
+
+        from columbiaimagesearch_tpu.index.tpu_query import (
+            fused_feat_query,
+            unpack_rows_dists_ncells,
+        )
+
+        if feats_dev.ndim == 1:
+            feats_dev = feats_dev[None, :]
+        d, ids_arr, cells_arr, fine_arr, nb = self._snapshot()
+        nq = int(feats_dev.shape[0])
+        if nb == 0:
+            return [([], 0)] * nq
+
+        V = self.model.V
+        B = self.probe_width or min(V, 64)
+        K = min(limit if limit is not None else quota, nb)
+        Q = min(round_up(int(quota) + 1024, 1024), round_up(nb, 256))
+        K_pad = min(round_up(K, 16), Q)
+        renorm = bool(getattr(self.model, "renorm", False))
+
+        packed = np.asarray(fused_feat_query(
+            feats_dev, d.get("pca_P"), d.get("pca_mu"),
+            d["Cs"], d["Rs"], d["mus"], d["subs"],
+            d["codes"], d["cell_start"], d["order"],
+            jnp.asarray(quota, dtype=jnp.int32),
+            V=V, B=B, Q=Q, K=K_pad, renorm=renorm,
+            lut_impl="stream"))   # one D2H sync; stream is vmap-safe
+        rows_b, dists_b, ncells_b = unpack_rows_dists_ncells(packed, K_pad)
+        return [
+            (self._rows_to_results(rows_b[i][:K], dists_b[i][:K], with_dists,
+                                   ids_arr, cells_arr, fine_arr,
+                                   with_codes=False),
+             int(ncells_b[i]))
+            for i in range(nq)
+        ]
 
     def search(self, x, quota=10, limit=None, with_dists=False):
         """Fused device query; same contract as the parity searcher."""

@@ -302,6 +302,42 @@ def unpack_rows_dists_ncells(packed, K_pad):
     return rows, dists, packed[..., 2 * K_pad]
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("V", "B", "Q", "K", "renorm", "lut_impl"))
+def fused_feat_query(X, pca_P, pca_mu, Cs, Rs, mus, subs, codes, cell_start,
+                     order, quota, *, V: int, B: int, Q: int, K: int,
+                     renorm: bool = False, lut_impl: str = "stream"):
+    """Raw extracted features -> packed search results in ONE program:
+    L2-normalize, optional PCA projection (+renorm), vmapped probed query,
+    packed rows/dists/visited per query. The serving fast path — query
+    features never visit the host between the extraction forward and the
+    search (the reference round-trips through numpy between its featurizer
+    and searcher, generic_searcher.py:343-414 + searcher_lopqhbase.py:
+    833-857).
+
+    :param X: [NQ, D_feat] raw features (any float dtype; cast to f32)
+    :param pca_P: [D_feat, D] projection or None (plain lopq model)
+    :returns: [NQ, 2K+1] packed int32 (see pack_rows_dists_ncells)
+    """
+    X = X.astype(jnp.float32)
+    Xn = X / jnp.maximum(jnp.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+    if pca_P is not None:
+        Xp = jnp.dot(Xn - pca_mu[None, :], pca_P, precision="highest")
+        if renorm:
+            Xp = Xp / jnp.maximum(
+                jnp.linalg.norm(Xp, axis=1, keepdims=True), 1e-30)
+        Xn = Xp
+
+    def qfn(q):
+        rows, dists, total, ncells = lopq_query_orig(
+            q, Cs, Rs, mus, subs, codes, cell_start, order, quota,
+            V=V, B=B, Q=Q, K=K, lut_impl=lut_impl)
+        return pack_rows_dists_ncells(rows, dists, ncells)
+
+    return jax.vmap(qfn)(Xn)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("V", "B", "Q", "K", "lut_impl"))
 def lopq_query_orig(x, Cs, Rs, mus, subs, codes, cell_start, order, quota,

@@ -250,12 +250,22 @@ class SentibankFeaturizer:
     def featurize_buffers(self, buffers):
         """Encoded JPEG/PNG buffers -> ([N, 4096] feats, status[N]);
         native parallel decode feeding one device pass."""
+        feats, status = self.featurize_buffers_device(buffers)
+        return np.asarray(feats), status
+
+    def featurize_buffers_device(self, buffers):
+        """Like :meth:`featurize_buffers` but the features STAY on device
+        (jax array) — feed them to ``search_device_feats`` so the serving
+        path never round-trips features through the host."""
         from columbiaimagesearch_tpu.models.preprocess import preprocess_buffers
 
         x, status = preprocess_buffers(buffers, self.mean)
-        return self._forward(x), status
+        return self._forward_device(x), status
 
     def _forward(self, x):
+        return np.asarray(self._forward_device(x))
+
+    def _forward_device(self, x):
         if self._params_bf16 is not None:
-            return np.asarray(sentibank_features_bf16(self._params_bf16, x))
-        return np.asarray(sentibank_features(self.params, x))
+            return sentibank_features_bf16(self._params_bf16, x)
+        return sentibank_features(self.params, x)

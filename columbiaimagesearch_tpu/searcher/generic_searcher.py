@@ -135,7 +135,23 @@ class GenericSearcher:
                 dets.append((sha1, image if push_img else None))
                 # Use the same decode path as extraction (native imgpipe)
                 # so query features match stored features bit-for-bit.
-                if hasattr(self.featurizer, "featurize_buffers"):
+                # Fused serving path: when the featurizer can leave its
+                # output on device and the backend accepts raw device
+                # features, the feature never visits the host (reranking
+                # needs host features -> falls back).
+                use_device = (
+                    hasattr(self.featurizer, "featurize_buffers_device")
+                    and hasattr(getattr(self, "searcher", None),
+                                "search_device_feats")
+                    and not options_dict.get("reranking", self.reranking))
+                if use_device:
+                    buf.seek(0)
+                    fts, status = self.featurizer.featurize_buffers_device(
+                        [buf.read()])
+                    if int(status[0]) == 0:
+                        feats.append(fts[0])
+                        continue
+                elif hasattr(self.featurizer, "featurize_buffers"):
                     buf.seek(0)
                     fts, status = self.featurizer.featurize_buffers(
                         [buf.read()])

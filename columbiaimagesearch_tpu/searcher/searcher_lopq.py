@@ -238,6 +238,22 @@ class SearcherLOPQ(GenericSearcher):
         """
         limit = (max_returned if not reranking
                  else max(max_returned, rerank_nb))
+        if (feat_list and not reranking
+                and hasattr(self.searcher, "search_device_feats")
+                and all(hasattr(f, "block_until_ready") for f in feat_list)):
+            # Fused device path: raw device features straight from the
+            # featurizer forward — normalize/PCA/query in one program.
+            import jax.numpy as jnp
+
+            X = jnp.stack([jnp.ravel(f) for f in feat_list])
+            waves = self.searcher.search_device_feats(
+                X, quota=quota, limit=limit)
+            return [
+                self._rank_results(None, results, visited, max_returned,
+                                   False, rerank_nb, filter_near_dup,
+                                   near_dup_th, split_ids)
+                for results, visited in waves
+            ]
         if len(feat_list) > 1 and hasattr(self.searcher, "search_batch"):
             X = np.asarray([np.squeeze(np.asarray(f, dtype=np.float32))
                             for f in feat_list])

@@ -1,0 +1,113 @@
+"""Fused device serving path: image buffer -> forward -> (device) ->
+normalize/PCA/query in one program, vs the host path that round-trips the
+feature through numpy. Both must rank identically.
+
+Covers: SentibankFeaturizer.featurize_buffers_device,
+LOPQSearcherTPU.search_device_feats, tpu_query.fused_feat_query, and the
+GenericSearcher junction that picks the fused route.
+"""
+
+import base64
+import io
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def setup():
+    from PIL import Image
+
+    from columbiaimagesearch_tpu.index.model import LOPQModelPCA
+    from columbiaimagesearch_tpu.models.sentibank import SentibankFeaturizer
+    from columbiaimagesearch_tpu.searcher.searcher_lopq import SearcherLOPQ
+
+    rng = np.random.RandomState(0)
+    # Small PCA'd model over sentibank's 4096-d features.
+    train = rng.randn(400, 4096).astype(np.float32)
+    train /= np.linalg.norm(train, axis=1, keepdims=True)
+    model = LOPQModelPCA(V=8, M=4, subquantizer_clusters=16)
+    model.fit(train, pca_dims=32, kmeans_coarse_iters=3,
+              kmeans_local_iters=3, n_init=1, random_state=0)
+
+    featurizer = SentibankFeaturizer()
+    searcher = SearcherLOPQ(
+        model=model, model_type="lopq_pca", V=8, M=4, pca_dims=32,
+        skip_get_sim_info=True, detector_type="full",
+        featurizer=featurizer, sim_limit=10)
+
+    # Index random features plus the query image's own feature.
+    img = rng.randint(0, 255, (96, 128, 3), dtype=np.uint8)
+    b = io.BytesIO()
+    Image.fromarray(img).save(b, format="JPEG", quality=90)
+    jpeg = b.getvalue()
+    own, status = featurizer.featurize_buffers([jpeg])
+    assert status[0] == 0
+    own = own[0] / np.linalg.norm(own[0])
+
+    X = rng.randn(300, 4096).astype(np.float32)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    X = np.vstack([X, own[None, :]])
+    co, fi = model.predict_batch(X)
+    searcher.searcher.add_codes(
+        (co, fi), ids=[f"sha{i}" for i in range(len(X))])
+    assert searcher.get_nb_indexed() == len(X)
+    return searcher, featurizer, jpeg, own
+
+
+def test_fused_path_matches_host_path(setup):
+    searcher, featurizer, jpeg, own = setup
+    b64 = base64.b64encode(jpeg).decode()
+    opts = {"max_returned": 10}
+
+    out_dev = searcher.search_imageB64_list([b64], dict(opts))
+    sims = out_dev["AllSimilarImages"][0]["SimilarImages"]
+    ids_dev = sims["ImageSha1s"]
+    dists_dev = sims["Distances"]
+    assert ids_dev, "fused path returned no results"
+    # NB: the image's own indexed feature need NOT rank first here — with
+    # renorm=False the projected query norm is tiny and quantization noise
+    # dominates; the contract under test is host/device path equivalence.
+
+    # Host path: same feature through numpy normalize + host PCA.
+    fts, status = featurizer.featurize_buffers([jpeg])
+    assert status[0] == 0
+    dets = [(ids_dev and "q0", None)]
+    out_host = searcher.search_from_feats(
+        [("q0", None)], [np.asarray(fts[0])], dict(opts))
+    sims_h = out_host["AllSimilarImages"][0]["SimilarImages"]
+    assert sims_h["ImageSha1s"] == ids_dev
+    np.testing.assert_allclose(sims_h["Distances"], dists_dev,
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_fused_path_disabled_under_reranking(setup):
+    """reranking needs host features; the fused route must fall back and
+    still produce results."""
+    searcher, featurizer, jpeg, own = setup
+    b64 = base64.b64encode(jpeg).decode()
+    out = searcher.search_imageB64_list(
+        [b64], {"max_returned": 5, "reranking": True, "rerank_nb": 10})
+    sims = out["AllSimilarImages"][0]["SimilarImages"]
+    assert sims["ImageSha1s"]
+
+
+def test_search_device_feats_batch(setup):
+    """Raw device features in, batched: matches per-feature host search."""
+    import jax.numpy as jnp
+
+    searcher, featurizer, jpeg, own = setup
+    rng = np.random.RandomState(7)
+    raw = rng.randn(3, 4096).astype(np.float32)
+    waves = searcher.searcher.search_device_feats(
+        jnp.asarray(raw), quota=100, limit=5)
+    assert len(waves) == 3
+    for i, (results, visited) in enumerate(waves):
+        assert results and visited > 0
+        normed = raw[i] / np.linalg.norm(raw[i])
+        host, _ = searcher.searcher.search(
+            normed, quota=100, limit=5, with_dists=True)
+        assert [r.id for r in results] == [r.id for r in host]
+        np.testing.assert_allclose(
+            [r.dist for r in results], [r.dist for r in host],
+            rtol=1e-4, atol=1e-5)
