@@ -81,6 +81,13 @@ def train(
             fit_kmeans_auto(second_half, V, kmeans_coarse_iters, n_init,
                             seed=_derive_seed(random_state, 1)))
 
+    # From here the intermediates (rotations, residuals, projections) stay
+    # DEVICE-resident through subquantizer training — at the 1M / V=4096
+    # config, each host round trip of a residual/projection matrix costs
+    # ~45 s through the dev relay (~33 MB/s D2H) and the permuted eigvec
+    # matrices another ~70 s; everything host-side was pure transfer, not
+    # compute (scripts/profile_rotations.py). The single host copy happens
+    # when LOPQModel.__init__ materializes the returned parameters.
     if Rs is not None and mus is not None:
         Rs1, Rs2 = Rs
         mu1, mu2 = mus
@@ -90,10 +97,6 @@ def train(
             first_half, C1, M // 2)
         Rs2, mu2, assignments2, residuals2 = compute_local_rotations(
             second_half, C2, M // 2)
-        Rs1, mu1 = np.asarray(Rs1), np.asarray(mu1)
-        Rs2, mu2 = np.asarray(Rs2), np.asarray(mu2)
-        assignments1, residuals1 = np.asarray(assignments1), np.asarray(residuals1)
-        assignments2, residuals2 = np.asarray(assignments2), np.asarray(residuals2)
 
     # Subsample for subquantizer training; same RNG construction as the
     # reference (np.random.RandomState(random_state).choice, model.py:414) so
@@ -103,25 +106,30 @@ def train(
     N2 = int(np.floor(subquantizer_sample_ratio * N))
     sample_inds = np.random.RandomState(random_state).choice(N, N2, False)
 
-    if assignments1 is not None:
-        residuals1 = residuals1[sample_inds]
-        residuals2 = residuals2[sample_inds]
-        assignments1 = assignments1[sample_inds]
-        assignments2 = assignments2[sample_inds]
-    else:
-        residuals1, assignments1 = compute_residuals(first_half[sample_inds], C1)
-        residuals2, assignments2 = compute_residuals(second_half[sample_inds], C2)
-        residuals1, assignments1 = np.asarray(residuals1), np.asarray(assignments1)
-        residuals2, assignments2 = np.asarray(residuals2), np.asarray(assignments2)
+    import jax.numpy as jnp
 
-    projected1 = np.asarray(
-        project_residuals_to_local(residuals1, assignments1, Rs1, mu1))
-    projected2 = np.asarray(
-        project_residuals_to_local(residuals2, assignments2, Rs2, mu2))
+    si = jnp.asarray(sample_inds.astype(np.int32))
+    if assignments1 is not None:
+        residuals1 = jnp.asarray(residuals1)[si]
+        residuals2 = jnp.asarray(residuals2)[si]
+        assignments1 = jnp.asarray(assignments1)[si]
+        assignments2 = jnp.asarray(assignments2)[si]
+    else:
+        residuals1, assignments1 = compute_residuals(
+            first_half[sample_inds], C1)
+        residuals2, assignments2 = compute_residuals(
+            second_half[sample_inds], C2)
+
+    projected1 = project_residuals_to_local(residuals1, assignments1, Rs1,
+                                            mu1)
+    projected2 = project_residuals_to_local(residuals2, assignments2, Rs2,
+                                            mu2)
 
     def _train_subs(projected, salt):
         subs = []
-        for i, d in enumerate(np.split(projected, M // 2, axis=1)):
+        width = projected.shape[1] // (M // 2)
+        for i in range(M // 2):
+            d = projected[:, i * width:(i + 1) * width]
             C = fit_kmeans_auto(d, subquantizer_clusters, kmeans_local_iters,
                                 n_init,
                                 seed=_derive_seed(random_state, salt + 10 * i))

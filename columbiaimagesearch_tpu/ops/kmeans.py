@@ -210,10 +210,14 @@ STREAMING_THRESHOLD_ELEMENTS = 1 << 29  # ~2 GB float32
 
 def fit_kmeans_auto(X, k: int, iters: int = 10, n_init: int = 1,
                     seed: int | None = None):
-    """Dispatch between on-device and streaming exact Lloyd by data size."""
-    X = np.asarray(X, dtype=np.float32)
-    if X.size > STREAMING_THRESHOLD_ELEMENTS:
-        return fit_kmeans_streaming(X, k, iters, n_init, seed)
+    """Dispatch between on-device and streaming exact Lloyd by data size.
+
+    Device-resident inputs go straight to the on-device path (they already
+    fit in HBM; converting them to numpy here would cost a full D2H pull).
+    """
+    if isinstance(X, np.ndarray) and X.size > STREAMING_THRESHOLD_ELEMENTS:
+        return fit_kmeans_streaming(np.asarray(X, dtype=np.float32), k,
+                                    iters, n_init, seed)
     return fit_kmeans(X, k, iters, n_init, seed)
 
 

@@ -5,8 +5,9 @@ TPU-first replacement for the reference's per-point Python loop
 ``compute_rotations_from_accumulators``):
 
 - cluster assignment is one chunked matmul (MXU),
-- covariance accumulators are a ``segment_sum`` scatter of residual outer
-  products (small D) or V masked matmuls (large D / small V),
+- covariance accumulators are V masked matmuls (small V) or cluster-blocked
+  batched matmuls over a sorted block-padded layout (large V) — both
+  scatter-light and MXU-heavy,
 - eigendecompositions run as one batched ``eigh`` over all V clusters,
 - the eigenvector permutation balancing variance across subquantizer buckets
   is the vectorized ``eigenvalue_allocation_batch`` (one D-step loop for all
@@ -32,31 +33,6 @@ from columbiaimagesearch_tpu.utils.chunking import pad_rows
 _MASKED_MATMUL_MAX_V = 32
 
 
-@functools.partial(jax.jit, static_argnames=("V", "chunk"))
-def _accumulate_segment(R, w, assign, V: int, chunk: int):
-    """Covariance accumulators via segment_sum of residual outer products."""
-    N, D = R.shape
-
-    def body(i, acc):
-        A, mu, cnt = acc
-        r = jax.lax.dynamic_slice_in_dim(R, i * chunk, chunk, 0)
-        a = jax.lax.dynamic_slice_in_dim(assign, i * chunk, chunk, 0)
-        ww = jax.lax.dynamic_slice_in_dim(w, i * chunk, chunk, 0)
-        rw = r * ww[:, None]
-        outer = jnp.einsum("nd,ne->nde", rw, r)
-        A = A + jax.ops.segment_sum(outer, a, num_segments=V)
-        mu = mu + jax.ops.segment_sum(rw, a, num_segments=V)
-        cnt = cnt + jax.ops.segment_sum(ww, a, num_segments=V)
-        return A, mu, cnt
-
-    init = (
-        jnp.zeros((V, D, D), dtype=jnp.float32),
-        jnp.zeros((V, D), dtype=jnp.float32),
-        jnp.zeros((V,), dtype=jnp.float32),
-    )
-    return jax.lax.fori_loop(0, N // chunk, body, init)
-
-
 @functools.partial(jax.jit, static_argnames=("V",))
 def _accumulate_masked(R, w, assign, V: int):
     """Covariance accumulators via V masked matmuls (MXU-heavy, scatter-free)."""
@@ -74,6 +50,82 @@ def _accumulate_masked(R, w, assign, V: int):
                  precision="highest")  # [V, D]
     cnt = jnp.sum(onehot, axis=0)
     return A, mu, cnt
+
+
+# Cluster-blocked layout (the index/tpu_encode_blocked.py pattern): sort
+# rows by cluster, pad every cluster's run to a BLK multiple, so the
+# per-cluster work becomes NB ~ N/BLK batched block matmuls with ONE
+# rotation/accumulator row per block. This replaces both scatter-heavy
+# paths at large V: segment_sum of per-point [D, D] outer products
+# (~16 GB of scattered elements at 1M x V=4096) and the per-point
+# rotation gather in projection (~65 GB of gathered rotation rows) —
+# measured 79 s and 124 s respectively at the 1M training bench; blocked
+# they are batched MXU matmuls plus a [NB, D, D] segment_sum/gather.
+_BLK = 128
+
+
+def _blocked_layout(assign, V: int, n_blocks: int):
+    """Sorted cluster-blocked layout: (order, a_sorted, ppos, bcluster).
+
+    ``ppos[i]`` is the padded-buffer slot of sorted row i; ``bcluster[b]``
+    the cluster owning block b (padding blocks carry zero rows).
+    """
+    N = assign.shape[0]
+    order = jnp.argsort(assign, stable=True)
+    a_sorted = assign[order]
+    counts = jax.ops.segment_sum(jnp.ones(N, jnp.int32), assign,
+                                 num_segments=V)
+    padded = ((counts + _BLK - 1) // _BLK) * _BLK
+    pstart = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                              jnp.cumsum(padded).astype(jnp.int32)])
+    cstart = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                              jnp.cumsum(counts).astype(jnp.int32)])
+    rank = jnp.arange(N, dtype=jnp.int32) - cstart[a_sorted]
+    ppos = pstart[a_sorted] + rank
+    bidx = jnp.arange(n_blocks, dtype=jnp.int32) * _BLK
+    bcluster = jnp.clip(
+        jnp.searchsorted(pstart[1:], bidx, side="right"), 0, V - 1)
+    return order, a_sorted, ppos, bcluster
+
+
+def _blocks_for(n: int, V: int) -> int:
+    """Static block count covering n rows with worst-case cluster padding."""
+    return -(-n // _BLK) + V
+
+
+@functools.partial(jax.jit, static_argnames=("V", "n_blocks"))
+def _accumulate_blocked(R, w, assign, V: int, n_blocks: int):
+    """Covariance accumulators via cluster-blocked batched matmuls."""
+    N, D = R.shape
+    order, a_sorted, ppos, bcluster = _blocked_layout(assign, V, n_blocks)
+    rows = R[order] * w[order][:, None]       # zeroed invalid rows
+    xp = jnp.zeros((n_blocks * _BLK, D), R.dtype).at[ppos].set(rows)
+    xb = xp.reshape(n_blocks, _BLK, D)
+    A_blocks = jax.lax.dot_general(
+        xb, xb, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)  # [NB, D, D]
+    A = jax.ops.segment_sum(A_blocks, bcluster, num_segments=V)
+    mu = jax.ops.segment_sum(jnp.sum(xb, axis=1), bcluster, num_segments=V)
+    cnt = jax.ops.segment_sum(w, assign, num_segments=V)
+    return A, mu, cnt
+
+
+@functools.partial(jax.jit, static_argnames=("V", "n_blocks"))
+def _project_blocked(residuals, assign, Rs, mus, V: int, n_blocks: int):
+    """Local-frame projection via one rotation row per block."""
+    N, D = residuals.shape
+    order, a_sorted, ppos, bcluster = _blocked_layout(assign, V, n_blocks)
+    shifted = residuals[order] - mus[a_sorted]
+    xp = jnp.zeros((n_blocks * _BLK, D), residuals.dtype).at[ppos].set(shifted)
+    xb = xp.reshape(n_blocks, _BLK, D)
+    Rb = Rs[bcluster]                         # [NB, D, D] one gather/block
+    pb = jax.lax.dot_general(
+        xb, Rb, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)  # [NB, BLK, D]
+    proj_sorted = pb.reshape(-1, D)[ppos]
+    return jnp.zeros_like(proj_sorted).at[order].set(proj_sorted)
 
 
 # Above this many elements, stream host-resident data through the device in
@@ -108,12 +160,8 @@ def accumulate_covariance_estimators(data, C):
     if V <= _MASKED_MATMUL_MAX_V:
         A, mu, cnt = _accumulate_masked(residuals, w, assign, V)
     else:
-        # Bound the [oc, D, D] outer-product buffer to ~128 MB.
-        oc = max(256, min(chunk, (1 << 25) // max(D * D, 1)))
-        Rp, _ = pad_rows(residuals, oc)
-        wp, _ = pad_rows(w, oc)
-        ap, _ = pad_rows(assign, oc)
-        A, mu, cnt = _accumulate_segment(Rp, wp, ap, V, oc)
+        A, mu, cnt = _accumulate_blocked(
+            residuals, w, assign, V, _blocks_for(residuals.shape[0], V))
 
     return A, mu, cnt, assign[:n], residuals[:n]
 
@@ -130,7 +178,6 @@ def _accumulate_streaming(data, C, device_chunk: int = 131072):
     cnt = jnp.zeros((V,), dtype=jnp.float32)
     assignments = np.zeros(N, dtype=np.int32)
     residuals = np.zeros((N, D), dtype=np.float32)
-    oc = max(256, min(device_chunk, (1 << 25) // max(D * D, 1)))
     for start in range(0, N, device_chunk):
         chunk = data[start:start + device_chunk]
         a, _ = assign_clusters(chunk, Cd)
@@ -141,10 +188,8 @@ def _accumulate_streaming(data, C, device_chunk: int = 131072):
         if V <= _MASKED_MATMUL_MAX_V:
             dA, dmu, dcnt = _accumulate_masked(r, w, a, V)
         else:
-            rp, _ = pad_rows(r, oc)
-            wp, _ = pad_rows(w, oc)
-            ap, _ = pad_rows(a, oc)
-            dA, dmu, dcnt = _accumulate_segment(rp, wp, ap, V, oc)
+            dA, dmu, dcnt = _accumulate_blocked(
+                r, w, a, V, _blocks_for(n, V))
         A = A + dA
         mu = mu + dmu
         cnt = cnt + dcnt
@@ -181,13 +226,17 @@ def compute_rotations_from_accumulators(A, mu, count, num_buckets: int):
     eigvals = jnp.where(degenerate[:, None], jnp.ones((V, D)), eigvals)
     eigvecs = jnp.where(degenerate[:, None, None], eye[None], eigvecs)
 
-    # Balanced allocation runs host-side (tiny sequential greedy), vectorized
-    # across all V clusters.
+    # Balanced allocation runs host-side (tiny sequential greedy over the
+    # 2 MB eigenvalue table, vectorized across all V clusters); the [V, D, D]
+    # eigvec permutation applies ON DEVICE — round-tripping the matrices
+    # through the host measured 31 s (D2H) + 27 s (1-core numpy permute) +
+    # 14 s (re-upload) at V=4096 vs 1.6 s for the device gather.
     perms = eigenvalue_allocation_batch(num_buckets, np.asarray(eigvals))
-    eigvecs = np.asarray(eigvecs)
+    perms_d = jnp.asarray(perms.astype(np.int32))
     # R[v] = eigvecs[v][:, perm[v]].T  (reference: A[i] = A[i, :, permuted_inds])
-    R = np.take_along_axis(eigvecs, perms[:, None, :], axis=2).transpose(0, 2, 1)
-    return jnp.asarray(R), mu
+    R = jnp.swapaxes(
+        jnp.take_along_axis(eigvecs, perms_d[:, None, :], axis=2), 1, 2)
+    return R, mu
 
 
 def compute_local_rotations(data, C, num_buckets: int):
@@ -209,22 +258,6 @@ def _project_masked(residuals, assign, Rs, mus, V: int):
                        precision="highest")
         out = jnp.where((assign == v)[:, None], proj, out)
     return out
-
-
-@functools.partial(jax.jit, static_argnames=("chunk",))
-def _project_gather(residuals, assign, Rs, mus, chunk: int):
-    N, D = residuals.shape
-
-    def one_chunk(args):
-        r, a = args
-        Rg = Rs[a]  # [chunk, D, D] gathered rotations
-        shifted = r - mus[a]
-        return jnp.einsum("nij,nj->ni", Rg, shifted, precision="highest")
-
-    rc = residuals.reshape(N // chunk, chunk, D)
-    ac = assign.reshape(N // chunk, chunk)
-    out = jax.lax.map(one_chunk, (rc, ac))
-    return out.reshape(N, D)
 
 
 def project_residuals_to_local(residuals, assignments, Rs, mus):
@@ -252,12 +285,8 @@ def project_residuals_to_local(residuals, assignments, Rs, mus):
     if V <= _MASKED_MATMUL_MAX_V:
         return _project_masked(residuals, assignments, Rs, mus, V)
 
-    # Bound the gathered-rotations buffer [chunk, D, D] to ~128 MB.
-    chunk = max(256, min(4096, (1 << 25) // max(D * D, 1)))
-    rp, n = pad_rows(residuals, chunk)
-    ap, _ = pad_rows(assignments, chunk)
-    out = _project_gather(rp, ap, Rs, mus, chunk)
-    return out[:n]
+    return _project_blocked(residuals, assignments, Rs, mus, V,
+                            _blocks_for(residuals.shape[0], V))
 
 
 def compute_residuals(data, C):
