@@ -21,7 +21,6 @@ def main():
     import jax.numpy as jnp
 
     from columbiaimagesearch_tpu.index.model import (
-        compute_residuals,
         project_residuals_to_local,
     )
     from columbiaimagesearch_tpu.ops.kmeans import fit_kmeans_auto
@@ -48,25 +47,36 @@ def main():
     C2 = np.asarray(fit_kmeans_auto(half2, V, iters, 1, seed=1))
     log(f"coarse kmeans half2 (warm): {time.perf_counter()-t:.1f}s")
 
+    # Everything below stays device-resident, mirroring index/model.py
+    # train(); a np.asarray here would add ~45 s of relay D2H per matrix
+    # and mis-attribute it to the stage.
     t = time.perf_counter()
     Rs1, mu1, a1, r1 = compute_local_rotations(half1, C1, M // 2)
-    Rs1 = np.asarray(Rs1)
+    Rs1.block_until_ready()
     log(f"local rotations half1: {time.perf_counter()-t:.1f}s")
     t = time.perf_counter()
     Rs2, mu2, a2, r2 = compute_local_rotations(half2, C2, M // 2)
-    Rs2 = np.asarray(Rs2)
+    Rs2.block_until_ready()
     log(f"local rotations half2 (warm): {time.perf_counter()-t:.1f}s")
 
     t = time.perf_counter()
-    p1 = np.asarray(project_residuals_to_local(
-        np.asarray(r1), np.asarray(a1), Rs1, np.asarray(mu1)))
+    p1 = project_residuals_to_local(r1, a1, Rs1, mu1)
+    p1.block_until_ready()
     log(f"project residuals half1: {time.perf_counter()-t:.1f}s")
 
     t = time.perf_counter()
     subs = []
-    for i, d in enumerate(np.split(p1, M // 2, axis=1)):
-        subs.append(np.asarray(fit_kmeans_auto(d, S, iters, 1, seed=100 + i)))
+    width = p1.shape[1] // (M // 2)
+    for i in range(M // 2):
+        d = p1[:, i * width:(i + 1) * width]
+        subs.append(fit_kmeans_auto(d, S, iters, 1, seed=100 + i))
+        subs[-1].block_until_ready()
     log(f"4 subquantizers half1: {time.perf_counter()-t:.1f}s")
+
+    t = time.perf_counter()
+    Rs_host = (np.asarray(Rs1), np.asarray(Rs2))
+    log(f"final Rs D2H (2x268 MB, the model's one host copy): "
+        f"{time.perf_counter()-t:.1f}s")
 
 
 if __name__ == "__main__":
