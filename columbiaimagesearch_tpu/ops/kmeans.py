@@ -63,17 +63,27 @@ def assign_clusters(X, C):
     return a[:n], md[:n]
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def kmeans_plusplus_init(key, X, w, k: int):
-    """k-means++ seeding on device.
+@functools.partial(jax.jit, static_argnames=("k", "n_local_trials"))
+def kmeans_plusplus_init(key, X, w, k: int, n_local_trials: int = 0):
+    """Greedy k-means++ seeding on device (sklearn semantics).
+
+    Each step samples ``n_local_trials`` candidates from the D^2
+    distribution, scores every candidate's resulting potential with one
+    [T, N] MXU matmul, and keeps the best — the same greedy variant
+    sklearn's ``_kmeans_plusplus`` uses under the reference's
+    MiniBatchKMeans (n_local_trials = 2 + log(k)). HBM traffic per step is
+    unchanged from the single-candidate variant (X is read once either
+    way), so the better seeds are ~free.
 
     :param key: PRNG key
     :param X: [N, D] float32 data (rows with w==0 are padding)
     :param w: [N] float32 validity weights (1 valid / 0 pad)
     :param k: number of centers (static)
+    :param n_local_trials: candidates per step (static; 0 -> 2 + log(k))
     :returns: [k, D] initial centroids
     """
     N, D = X.shape
+    T = n_local_trials if n_local_trials > 0 else 2 + int(np.log(max(k, 2)))
     x2 = jnp.sum(X * X, axis=1)
 
     key0, key = jax.random.split(key)
@@ -88,16 +98,22 @@ def kmeans_plusplus_init(key, X, w, k: int):
     def body(i, carry):
         C, d2, key = carry
         key, sub = jax.random.split(key)
-        # Sample proportional to D^2 (the kmeans++ distribution).
+        # Sample T candidates proportional to D^2 (kmeans++ distribution).
         logits = jnp.where(d2 > 0, jnp.log(d2), -jnp.inf)
         # Degenerate case (all remaining distances zero): fall back to uniform
         # over valid rows so we still emit k centers.
         logits = jnp.where(jnp.any(d2 > 0), logits, logits0)
-        idx = jax.random.categorical(sub, logits)
-        c = X[idx]
-        C = C.at[i].set(c)
-        nd2 = jnp.maximum(x2 - 2.0 * (X @ c) + jnp.sum(c * c), 0.0) * w
-        return C, jnp.minimum(d2, nd2), key
+        idx = jax.random.categorical(sub, logits, shape=(T,))
+        cand = X[idx]                                     # [T, D]
+        cand2 = jnp.sum(cand * cand, axis=1)
+        dist = jnp.maximum(
+            x2[None, :] - 2.0 * jnp.dot(cand, X.T,
+                                        preferred_element_type=jnp.float32)
+            + cand2[:, None], 0.0) * w[None, :]           # [T, N]
+        nd2 = jnp.minimum(d2[None, :], dist)
+        best = jnp.argmin(jnp.sum(nd2, axis=1))
+        C = C.at[i].set(cand[best])
+        return C, nd2[best], key
 
     C, _, _ = jax.lax.fori_loop(1, k, body, (C0, d2, key))
     return C

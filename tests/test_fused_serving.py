@@ -92,6 +92,30 @@ def test_fused_path_disabled_under_reranking(setup):
     assert sims["ImageSha1s"]
 
 
+def test_search_device_feats_plain_lopq():
+    """Fused path without PCA (pca_P=None): normalize-only, matches the
+    host route."""
+    import jax.numpy as jnp
+
+    from columbiaimagesearch_tpu.index.model import LOPQModel
+    from columbiaimagesearch_tpu.index.searcher import LOPQSearcherTPU
+    from tests.oracle_lopq import random_params
+
+    rng = np.random.RandomState(3)
+    model = LOPQModel(parameters=random_params(rng, V=8, M=4, S=16, D=32))
+    X = rng.randn(500, 32).astype(np.float32)
+    s = LOPQSearcherTPU(model)
+    s.add_data(X, ids=[f"p{i}" for i in range(len(X))])
+    raw = rng.randn(2, 32).astype(np.float32) * 3.0
+    waves = s.search_device_feats(jnp.asarray(raw), quota=100, limit=8)
+    for i, (results, visited) in enumerate(waves):
+        host, _ = s.search(raw[i] / np.linalg.norm(raw[i]), quota=100,
+                           limit=8, with_dists=True)
+        assert [r.id for r in results] == [r.id for r in host]
+        np.testing.assert_allclose(
+            [r.dist for r in results], [r.dist for r in host], rtol=1e-4)
+
+
 def test_search_device_feats_batch(setup):
     """Raw device features in, batched: matches per-feature host search."""
     import jax.numpy as jnp
