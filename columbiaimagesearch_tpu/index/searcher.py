@@ -176,6 +176,9 @@ class LOPQSearcherTPU(LOPQSearcherBase):
     #: appended chunks are sentinel-padded to this multiple so refreshes
     #: reuse one compiled append program
     CHUNK_QUANTUM = 8192
+    # Above this capacity, incremental refreshes use the linear merge
+    # (csr.merge_append_csr) instead of re-sorting the whole buffer.
+    MERGE_REFRESH_MIN_CAP = 32 << 20
 
     def __init__(self, model, probe_width=None, codestore_path=None):
         super().__init__()
@@ -271,7 +274,10 @@ class LOPQSearcherTPU(LOPQSearcherBase):
 
         import jax.numpy as jnp
 
-        from columbiaimagesearch_tpu.index.csr import append_and_build_csr
+        from columbiaimagesearch_tpu.index.csr import (
+            append_and_build_csr,
+            merge_append_csr,
+        )
 
         if self._dev is None:
             # Model parameters are immutable for the life of the searcher —
@@ -308,6 +314,7 @@ class LOPQSearcherTPU(LOPQSearcherBase):
             chunk_c = np.full(self.CHUNK_QUANTUM, sentinel, np.int32)
             chunk_f = np.zeros((self.CHUNK_QUANTUM, M), np.uint8)
             offset = n
+            use_merge = False  # fresh buffers: previous sorted view is stale
         else:
             # Incremental: upload ONLY the new rows (sentinel-padded chunk).
             k = n - self._n_dev
@@ -320,14 +327,32 @@ class LOPQSearcherTPU(LOPQSearcherBase):
             chunk_f = np.zeros((k_pad, M), np.uint8)
             chunk_f[:k] = self._fine[self._n_dev:n]
             offset = self._n_dev
-        (self._buf_cells, self._buf_fine, codes, cell_start,
-         order) = append_and_build_csr(
-            self._buf_cells, self._buf_fine, jnp.asarray(chunk_c),
-            jnp.asarray(chunk_f), jnp.int32(offset), V)
+            # The linear merge beats the full re-sort only once the sort's
+            # O(N log^2 N) bites (measured: sort 1.4 s vs merge 1.8 s at
+            # 10.5M, but ~65 s vs ~13 s at 100M on v5e).
+            use_merge = (self._dev.get("cells_sorted") is not None
+                         and self._cap > self.MERGE_REFRESH_MIN_CAP)
+        if use_merge:
+            # Steady-state refresh: linear merge of the sorted chunk into
+            # the previous sorted view (no full re-sort; see
+            # csr.merge_append_csr — the argsort path cost ~60 s per
+            # refresh at a 100M-row index).
+            (self._buf_cells, self._buf_fine, cells_sorted, codes,
+             cell_start, order) = merge_append_csr(
+                self._buf_cells, self._buf_fine, self._dev["cells_sorted"],
+                self._dev["codes"], self._dev["order"],
+                self._dev["cell_start"], jnp.asarray(chunk_c),
+                jnp.asarray(chunk_f), jnp.int32(offset), V)
+        else:
+            (self._buf_cells, self._buf_fine, cells_sorted, codes,
+             cell_start, order) = append_and_build_csr(
+                self._buf_cells, self._buf_fine, jnp.asarray(chunk_c),
+                jnp.asarray(chunk_f), jnp.int32(offset), V)
         self._n_dev = n
         # Atomic swap: in-flight queries holding the previous dict keep a
         # consistent (codes, cell_start, order) triple.
         dev = dict(self._dev)
+        dev["cells_sorted"] = cells_sorted
         dev["codes"] = codes
         dev["cell_start"] = cell_start
         dev["order"] = order

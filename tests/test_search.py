@@ -232,6 +232,41 @@ def test_dedup_handles_none_ids_and_sequence_ids():
     assert arr.shape == (2,) and arr[0] == (1, 2)
 
 
+def test_merge_refresh_matches_sort_path():
+    """The linear-merge refresh (csr.merge_append_csr; default only above
+    MERGE_REFRESH_MIN_CAP) must produce the same results as the re-sort
+    path across several refreshes, including dedup and sentinel padding."""
+    from columbiaimagesearch_tpu.index.searcher import LOPQSearcherTPU
+
+    rs = np.random.RandomState(9)
+    model = LOPQModel(parameters=random_params(rs, V=8, M=4, S=16, D=32))
+    X = rs.randn(3000, 32).astype(np.float32)
+    coarse, fine = model.predict_batch(X)
+    ids = [f"m{i}" for i in range(len(X))]
+
+    s_merge = LOPQSearcherTPU(model)
+    s_merge.MERGE_REFRESH_MIN_CAP = 0  # force the merge path
+    s_sort = LOPQSearcherTPU(model)
+    chunks = [(0, 1000), (1000, 1400), (1400, 1401), (1401, 2600),
+              (2600, 3000)]
+    for a, b in chunks:
+        for s in (s_merge, s_sort):
+            s.add_codes((coarse[a:b], fine[a:b]), ids[a:b])
+            assert s.get_nb_indexed() == b  # forces repack each round
+    # re-insert duplicates across a refresh boundary: both must drop them
+    for s in (s_merge, s_sort):
+        s.add_codes((coarse[:50], fine[:50]), ids[:50])
+        assert s.get_nb_indexed() == 3000
+
+    for q in range(6):
+        r_m, v_m = s_merge.search(X[q], quota=300, limit=10, with_dists=True)
+        r_s, v_s = s_sort.search(X[q], quota=300, limit=10, with_dists=True)
+        assert [r.id for r in r_m] == [r.id for r in r_s]
+        np.testing.assert_allclose([r.dist for r in r_m],
+                                   [r.dist for r in r_s], rtol=1e-6)
+        assert v_m == v_s
+
+
 def test_concurrent_refresh_and_search():
     """Readers keep getting consistent results while a writer refreshes the
     index (the API's background load_codes vs threaded serving)."""
