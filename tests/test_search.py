@@ -267,6 +267,35 @@ def test_merge_refresh_matches_sort_path():
         assert v_m == v_s
 
 
+def test_merge_refresh_across_capacity_rebuild():
+    """Capacity growth rebuilds fresh buffers (sort path, stale sorted view
+    discarded); merges before AND after the rebuild must stay correct."""
+    from columbiaimagesearch_tpu.index.searcher import LOPQSearcher, LOPQSearcherTPU
+
+    rs = np.random.RandomState(12)
+    model = LOPQModel(parameters=random_params(rs, V=8, M=4, S=16, D=32))
+    X = rs.randn(20000, 32).astype(np.float32)
+    coarse, fine = model.predict_batch(X)
+    ids = [f"c{i}" for i in range(len(X))]
+
+    s = LOPQSearcherTPU(model)
+    s.MERGE_REFRESH_MIN_CAP = 0  # force merges whenever incremental
+    host = LOPQSearcher(model)
+    # chunks chosen to cross the 16384 capacity quantum mid-sequence
+    # (merge, merge, rebuild, merge)
+    bounds = [0, 4000, 7000, 17000, 20000]
+    for a, b in zip(bounds, bounds[1:]):
+        s.add_codes((coarse[a:b], fine[a:b]), ids[a:b])
+        assert s.get_nb_indexed() == b
+        host.add_codes((coarse[a:b], fine[a:b]), ids[a:b])
+    for q in range(4):
+        r_d, _ = s.search(X[q], quota=500, limit=10, with_dists=True)
+        r_h, _ = host.search(X[q], quota=500, limit=10, with_dists=True)
+        assert [r.id for r in r_d] == [r.id for r in r_h]
+        np.testing.assert_allclose([r.dist for r in r_d],
+                                   [r.dist for r in r_h], rtol=1e-4)
+
+
 def test_concurrent_refresh_and_search():
     """Readers keep getting consistent results while a writer refreshes the
     index (the API's background load_codes vs threaded serving)."""
