@@ -29,6 +29,11 @@ def main():
     ap.add_argument("--M", type=int, default=8)
     ap.add_argument("--queries", type=int, default=100)
     ap.add_argument("--quota", type=int, default=10_000)
+    ap.add_argument("--probe-width", type=int, default=None,
+                    help="clusters probed per split (B; default min(V, 64))."
+                         " At large V the probe grid, not the quota, bounds"
+                         " the candidate pool: B*B cells cover ~B*B*N/V^2"
+                         " candidates")
     ap.add_argument("--query-noise", type=float, default=0.1,
                     help="queries are indexed points + this noise (the "
                          "near-duplicate retrieval scenario the system "
@@ -133,7 +138,7 @@ def main():
         return out
 
     # Probed searcher at production quota.
-    s = LOPQSearcherTPU(model)
+    s = LOPQSearcherTPU(model, probe_width=args.probe_width)
     s.add_codes((coarse, fine), ids=list(range(args.n)))
     print(f"[{time.time()-t0:.0f}s] probed search", file=sys.stderr,
           flush=True)
