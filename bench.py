@@ -362,7 +362,7 @@ def bench_serving(args, n_threads=4, reqs_per_thread=10):
         return xp / jnp.linalg.norm(xp, axis=1, keepdims=True)
 
     chunk = 1 << 17
-    co_parts, fi_parts = [], []
+    co_parts, fi_parts, feat_parts = [], [], []
     done = 0
     while done < n_index:
         n = round_up(min(chunk, n_index - done), 4096)
@@ -371,21 +371,27 @@ def bench_serving(args, n_threads=4, reqs_per_thread=10):
         co, fi = lopq_encode(Cs, Rs, mus, subs, xb, chunk=4096)
         co_parts.append(np.asarray(co))
         fi_parts.append(np.asarray(fi))
+        if args.rerank:
+            # Keep the index-space (post-PCA) features for the
+            # device-resident exact rerank store.
+            feat_parts.append(np.asarray(xb))
         done += n
         log(f"[{time.time()-t0:.0f}s] encoded {min(done, n_index)}/{n_index}")
     coarse = np.concatenate(co_parts)[:n_index]
     fine = np.concatenate(fi_parts)[:n_index]
-
-    class _NoFeatEnc:  # renorm flag carrier
-        pass
+    feats = (np.concatenate(feat_parts)[:n_index] if args.rerank else None)
 
     searcher = SearcherLOPQ(
         model=model, model_type="lopq_pca", V=args.V, M=args.M,
         pca_dims=PCA_D, probe_width=args.probe_width,
         skip_get_sim_info=True, detector_type="full",
-        featurizer=SentibankFeaturizer(), sim_limit=args.limit)
-    searcher.searcher.add_codes((coarse, fine))
-    log(f"[{time.time()-t0:.0f}s] packed {searcher.get_nb_indexed()} codes; "
+        featurizer=SentibankFeaturizer(), sim_limit=args.limit,
+        reranking=args.rerank, rerank_nb=min(10 * args.limit, 1000))
+    searcher.searcher.add_codes((coarse, fine), feats=feats)
+    if args.rerank:
+        assert searcher.searcher.has_rerank_feats
+    log(f"[{time.time()-t0:.0f}s] packed {searcher.get_nb_indexed()} codes"
+        f"{' + rerank feature store' if args.rerank else ''}; "
         "starting server")
 
     server = make_server(searcher, endpoint="cuimgsearch", port=0)
@@ -448,7 +454,8 @@ def bench_serving(args, n_threads=4, reqs_per_thread=10):
     server.shutdown()
     baseline_s = 1.0  # 'less than a second' (reference README.md:13)
     print(json.dumps({
-        "metric": "serving_http_image_to_results_p50",
+        "metric": ("serving_http_image_to_results_rerank_p50"
+                   if args.rerank else "serving_http_image_to_results_p50"),
         "value": round(p50 * 1e3, 1),
         "unit": "ms",
         "vs_baseline": round(baseline_s / p50, 2),
@@ -506,7 +513,14 @@ def main():
     ap.add_argument("--dim", type=int, default=256)
     ap.add_argument("--V", type=int, default=4096)
     ap.add_argument("--M", type=int, default=8)
-    ap.add_argument("--probe-width", type=int, default=64)
+    # Raw-kernel query mode pins B=64 (the headline config). The class
+    # modes (searcher/serving) pass probe_width through; default None =
+    # adaptive escalation ladder (64 -> 256 -> 1024 on quota shortfall).
+    ap.add_argument("--probe-width", type=int, default=None)
+    ap.add_argument("--rerank", action="store_true",
+                    help="serving mode: enable device-resident exact "
+                         "reranking (the reference production config, "
+                         "conf_search_sbpycaffe_release.json:16)")
     ap.add_argument("--quota", type=int, default=10_000)
     ap.add_argument("--limit", type=int, default=100)
     ap.add_argument("--batches", type=int, default=5)
@@ -551,7 +565,7 @@ def main():
     jax.block_until_ready(cell_start)
 
     # ---- scan-chained query batches --------------------------------------
-    B = min(args.probe_width, args.V)
+    B = min(args.probe_width or 64, args.V)
     Q = round_up(args.quota + 1024, 1024)
     K = round_up(args.limit, 16)
     quota = jnp.asarray(args.quota, dtype=jnp.int32)
@@ -564,7 +578,7 @@ def main():
     @jax.jit
     def run_batch(queries, Cs, Rs, mus, subs, codes, cell_start, quota):
         def step(carry, q):
-            rows, dists, total, nc = lopq_query(
+            rows, dists, total, nc, ok = lopq_query(
                 q + carry * 1e-12, Cs, Rs, mus, subs, codes, cell_start,
                 quota, V=args.V, B=B, Q=Q, K=K, lut_impl="auto")
             return dists[0], (rows[:args.limit], dists[:args.limit])

@@ -146,3 +146,17 @@ def merge_append_csr(dev_cells, dev_fine, cells_sorted, codes_sorted,
     cell_start = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts).astype(jnp.int32)])
     return dev_cells, dev_fine, cells2, codes2, cell_start, order2
+
+
+@jax.jit
+def append_rows(buf, chunk, offset):
+    """Slice a row chunk into a capacity buffer at ``offset`` — on device.
+
+    Maintenance op for insertion-order side stores that ride along with
+    the CSR index (the rerank feature matrix: rows never reorder, so an
+    incremental refresh is one dynamic_update_slice instead of a rebuild).
+    The buffer is NOT donated: the searcher's atomic snapshot contract
+    lets in-flight queries keep reading the previous buffer while the
+    refresh swaps in the new one.
+    """
+    return jax.lax.dynamic_update_slice(buf, chunk, (offset, 0))

@@ -19,7 +19,7 @@ import numpy as np
 
 from columbiaimagesearch_tpu.index.model import LOPQCode, LOPQModelPCA
 from columbiaimagesearch_tpu.index.multisequence import multisequence
-from columbiaimagesearch_tpu.utils.chunking import round_up
+from columbiaimagesearch_tpu.utils.chunking import pad_rows, round_up
 from columbiaimagesearch_tpu.utils.codes import (
     IncrementalDedup,
     code_dtype_for,
@@ -180,17 +180,26 @@ class LOPQSearcherTPU(LOPQSearcherBase):
     # (csr.merge_append_csr) instead of re-sorting the whole buffer.
     MERGE_REFRESH_MIN_CAP = 32 << 20
 
-    def __init__(self, model, probe_width=None, codestore_path=None):
+    def __init__(self, model, probe_width=None, codestore_path=None,
+                 rerank_dtype="float32"):
         super().__init__()
         self.model = model
         self.probe_width = probe_width
-        self._pending = []  # list of (cells int64 [n], fine uint8 [n, M], ids)
+        #: device dtype for the resident rerank feature matrix. float32 is
+        #: exact; "bfloat16" halves HBM (the 10M x 256-d store drops from
+        #: ~10 GB to ~5 GB) at ~1e-3 relative distance error.
+        self.rerank_dtype = rerank_dtype
+        self._pending = []  # list of (cells int64 [n], fine uint8 [n, M],
+        #                     ids, feats float32 [n, D] or None)
         self._cells = None  # int64 [n] cell ids, INSERTION order
         self._fine = None   # uint8 [n, M], insertion order
         self._ids = None    # object [n]
+        self._feats = None  # float32 [n, D] index-space rerank features,
+        #                     insertion order (None when any add omitted them)
         self._dedup = IncrementalDedup()
         self._buf_cells = None  # device [cap] int32, sentinel-padded
         self._buf_fine = None   # device [cap, M] uint8
+        self._buf_feats = None  # device [cap, D] rerank features
         self._cap = 0
         self._n_dev = 0     # occupied device rows
         self._dev = None    # codes/cell_start/order + model tables
@@ -214,7 +223,7 @@ class LOPQSearcherTPU(LOPQSearcherBase):
                 ids_arr = np.empty(len(ids), dtype=object)
                 ids_arr[:] = ids
                 self._pending.append(
-                    (cells.astype(np.int64), fine, ids_arr))
+                    (cells.astype(np.int64), fine, ids_arr, None))
 
     def get_nb_indexed(self):
         self._pack()
@@ -222,19 +231,50 @@ class LOPQSearcherTPU(LOPQSearcherBase):
 
     # ------------------------------------------------------------- indexing
 
-    def add_codes(self, codes, ids=None):
+    def add_codes(self, codes, ids=None, feats=None):
+        """Index codes; optionally store the matching index-space features
+        for device-resident exact reranking (``feats`` [n, D], same row
+        order — post-PCA space for lopq_pca models). Reranking stays
+        enabled only while EVERY add supplies features: one featureless
+        add drops the store and reranking falls back to the host/indexer
+        path (searcher_lopq._rank_results)."""
         coarse, fine, ids_arr = _codes_to_arrays(
             codes, ids, self.model.V, self.model.subquantizer_clusters)
         cells = (coarse[:, 0].astype(np.int64) * self.model.V
                  + coarse[:, 1].astype(np.int64))
+        if feats is not None:
+            feats = np.ascontiguousarray(feats, dtype=np.float32)
+            if len(feats) != len(cells):
+                raise ValueError(
+                    f"feats rows {len(feats)} != codes rows {len(cells)}")
         with self._mutlock:
-            self._pending.append((cells, fine.astype(np.uint8), ids_arr))
+            self._pending.append((cells, fine.astype(np.uint8), ids_arr,
+                                  feats))
             if self._codestore is not None:
                 self._codestore.append(cells.astype(np.uint32),
                                        fine.astype(np.uint8),
                                        [str(i) for i in ids_arr])
                 self._codestore.sync()
             self._dirty = True
+
+    def add_data(self, data, ids=None, num_procs=1, store_feats=False):
+        """Encode + index raw vectors; with ``store_feats`` the index-space
+        projection is kept resident for device reranking."""
+        del num_procs
+        data = np.asarray(data, dtype=np.float32)
+        coarse, fine = self.model.predict_batch(data)
+        feats = None
+        if store_feats:
+            feats = (self.model.apply_PCA(data)
+                     if isinstance(self.model, LOPQModelPCA) else data)
+        self.add_codes((coarse, fine), ids, feats=feats)
+
+    @property
+    def has_rerank_feats(self):
+        """True when the device feature store covers every indexed row."""
+        with self._mutlock:
+            self._pack_locked()
+            return self._feats is not None and self.nb_indexed > 0
 
     def _pack(self):
         with self._mutlock:
@@ -253,19 +293,34 @@ class LOPQSearcherTPU(LOPQSearcherBase):
             cells_new = np.concatenate([p[0] for p in self._pending])
             fine_new = np.concatenate([p[1] for p in self._pending])
             ids_new = np.concatenate([p[2] for p in self._pending])
+            # The rerank feature store survives only while every add (past
+            # and pending) supplied features — a single gap would make
+            # device "exact" distances silently wrong for those rows.
+            feats_ok = (all(p[3] is not None for p in self._pending)
+                        and (self._cells is None or self._feats is not None))
+            feats_new = (np.concatenate([p[3] for p in self._pending])
+                         if feats_ok else None)
             self._pending = []
             keep = self._dedup.filter_new(cells_new, ids_new)
             if not keep.all():
                 cells_new = cells_new[keep]
                 fine_new = fine_new[keep]
                 ids_new = ids_new[keep]
+                if feats_new is not None:
+                    feats_new = feats_new[keep]
+            if not feats_ok and self._feats is not None:
+                self._feats = None
+                self._buf_feats = None  # free ~cap*D*4 bytes of HBM
             if self._cells is None:
                 self._cells, self._fine, self._ids = (cells_new, fine_new,
                                                       ids_new)
+                self._feats = feats_new
             elif len(cells_new):
                 self._cells = np.concatenate([self._cells, cells_new])
                 self._fine = np.concatenate([self._fine, fine_new])
                 self._ids = np.concatenate([self._ids, ids_new])
+                if feats_new is not None and self._feats is not None:
+                    self._feats = np.concatenate([self._feats, feats_new])
         n = len(self._cells) if self._cells is not None else 0
         self.nb_indexed = n
         if n == 0:
@@ -315,6 +370,7 @@ class LOPQSearcherTPU(LOPQSearcherBase):
             chunk_f = np.zeros((self.CHUNK_QUANTUM, M), np.uint8)
             offset = n
             use_merge = False  # fresh buffers: previous sorted view is stale
+            feat_rebuild = True
         else:
             # Incremental: upload ONLY the new rows (sentinel-padded chunk).
             k = n - self._n_dev
@@ -332,6 +388,7 @@ class LOPQSearcherTPU(LOPQSearcherBase):
             # 10.5M, but ~65 s vs ~13 s at 100M on v5e).
             use_merge = (self._dev.get("cells_sorted") is not None
                          and self._cap > self.MERGE_REFRESH_MIN_CAP)
+            feat_rebuild = False
         if use_merge:
             # Steady-state refresh: linear merge of the sorted chunk into
             # the previous sorted view (no full re-sort; see
@@ -348,6 +405,27 @@ class LOPQSearcherTPU(LOPQSearcherBase):
              cell_start, order) = append_and_build_csr(
                 self._buf_cells, self._buf_fine, jnp.asarray(chunk_c),
                 jnp.asarray(chunk_f), jnp.int32(offset), V)
+        # Rerank feature store: insertion-order rows, so it never takes
+        # part in the CSR sort — a rebuild uploads the whole padded matrix,
+        # an incremental refresh slices in only the new rows.
+        if self._feats is not None:
+            from columbiaimagesearch_tpu.index.csr import append_rows
+
+            fdt = (jnp.bfloat16 if self.rerank_dtype == "bfloat16"
+                   else jnp.float32)
+            Dr = self._feats.shape[1]
+            if feat_rebuild or self._buf_feats is None:
+                fbuf = np.zeros((self._cap, Dr), np.float32)
+                fbuf[:len(self._feats)] = self._feats
+                self._buf_feats = jnp.asarray(fbuf, dtype=fdt)
+            else:
+                k = n - offset
+                k_pad = round_up(k, self.CHUNK_QUANTUM)
+                fchunk = np.zeros((k_pad, Dr), np.float32)
+                fchunk[:k] = self._feats[offset:n]
+                self._buf_feats = append_rows(
+                    self._buf_feats, jnp.asarray(fchunk, dtype=fdt),
+                    jnp.int32(offset))
         self._n_dev = n
         # Atomic swap: in-flight queries holding the previous dict keep a
         # consistent (codes, cell_start, order) triple.
@@ -356,6 +434,7 @@ class LOPQSearcherTPU(LOPQSearcherBase):
         dev["codes"] = codes
         dev["cell_start"] = cell_start
         dev["order"] = order
+        dev["feats"] = self._buf_feats if self._feats is not None else None
         self._dev = dev
         self._dirty = False
 
@@ -386,27 +465,50 @@ class LOPQSearcherTPU(LOPQSearcherBase):
 
     # --------------------------------------------------------------- search
 
+    def _probe_ladder(self):
+        from columbiaimagesearch_tpu.index.tpu_query import probe_ladder
+
+        return probe_ladder(self.model.V, self.probe_width)
+
+    def _escalate(self, run_tier, n, quota, nb, K_pad):
+        from columbiaimagesearch_tpu.index.tpu_query import escalate_probe
+
+        return escalate_probe(run_tier, self._probe_ladder(), n, quota, nb,
+                              K_pad)
+
     def search_batch(self, X, quota=10, limit=None, with_dists=False,
-                     with_codes=False):
+                     with_codes=True, rerank_nb=None):
         """vmap-batched queries: one device launch for len(X) queries
         (one dispatch; serving throughput mode). Returns a list of
         (results, visited) pairs.
 
-        Serving-path host costs are trimmed: rows/dists/visited come back
-        in ONE packed device-to-host transfer (each blocking sync costs
-        ~27 ms through the dev relay, and round trips are never free), and
-        result codes are only materialized when ``with_codes=True`` (the
-        LOPQCode tuples cost ~10 numpy scalar constructions per result and
-        no serving consumer reads them — pass with_codes for the reference
-        (id, code) result contract)."""
+        Serving-path host costs are trimmed: waves are padded to a small
+        set of static batch sizes (one compile per bucket, not per wave
+        size), and rows/dists/candidates/visited come back in ONE packed
+        device-to-host transfer (each blocking sync costs ~27 ms through
+        the dev relay, and round trips are never free).
+        ``with_codes=True`` (the default) keeps the reference's (id, code)
+        result contract; the serving path passes ``with_codes=False``
+        explicitly because no serving consumer reads the codes and the
+        LOPQCode tuples cost ~10 numpy scalar constructions per result.
+
+        ``rerank_nb`` (with a resident feature store — see ``add_codes``
+        feats) fuses the reference's exact rerank into the same launch:
+        top-``rerank_nb`` ADC candidates re-scored against the stored
+        features and re-sorted on device (reference:
+        searcher_lopqhbase.py:862-912; production config serves with
+        reranking on, conf/conf_search_sbpycaffe_release.json:16).
+        Reranked results carry exact L2 distances and code=None."""
         import jax
         import jax.numpy as jnp
 
         from columbiaimagesearch_tpu.index.tpu_query import (
             lopq_query_orig,
-            pack_rows_dists_ncells,
-            unpack_rows_dists_ncells,
+            lopq_query_rerank,
+            pack_query_out,
+            unpack_query_out,
         )
+        from columbiaimagesearch_tpu.utils.chunking import wave_bucket
 
         X = np.asarray(X, dtype=np.float32)
         if isinstance(self.model, LOPQModelPCA):
@@ -416,26 +518,44 @@ class LOPQSearcherTPU(LOPQSearcherBase):
             return [([], 0)] * len(X)
 
         V = self.model.V
-        B = self.probe_width or min(V, 64)
         K = min(limit if limit is not None else quota, nb)
         Q = min(round_up(int(quota) + 1024, 1024), round_up(nb, 256))
         K_pad = min(round_up(K, 16), Q)
+        R = 0
+        if rerank_nb:
+            if d.get("feats") is None:
+                raise ValueError(
+                    "rerank_nb requires a resident feature store "
+                    "(add_codes(..., feats=...) for every add)")
+            R = min(int(rerank_nb), K_pad)
 
-        def qfn(q, Cs, Rs, mus, subs, codes, cell_start, order, qq):
-            rows, dists, total, ncells = lopq_query_orig(
-                q, Cs, Rs, mus, subs, codes, cell_start,
-                order, qq, V=V, B=B, Q=Q, K=K_pad)
-            return pack_rows_dists_ncells(rows, dists, ncells)
+        def run_tier(idx, B):
+            def qfn(q, Cs, Rs, mus, subs, codes, cell_start, order, feats,
+                    qq):
+                if R:
+                    rows, dists, total, ncells, ok = lopq_query_rerank(
+                        q, feats, Cs, Rs, mus, subs, codes, cell_start,
+                        order, qq, V=V, B=B, Q=Q, K=K_pad, R=R)
+                else:
+                    rows, dists, total, ncells, ok = lopq_query_orig(
+                        q, Cs, Rs, mus, subs, codes, cell_start,
+                        order, qq, V=V, B=B, Q=Q, K=K_pad)
+                return pack_query_out(rows, dists, total, ncells, ok)
 
-        batched = jax.vmap(qfn, in_axes=(0,) + (None,) * 8)
-        packed = np.asarray(batched(
-            jnp.asarray(X), d["Cs"], d["Rs"], d["mus"], d["subs"],
-            d["codes"], d["cell_start"], d["order"],
-            jnp.asarray(quota, dtype=jnp.int32)))        # one D2H sync
-        rows_b, dists_b, ncells_b = unpack_rows_dists_ncells(packed, K_pad)
+            batched = jax.vmap(qfn, in_axes=(0,) + (None,) * 9)
+            Xw, k = pad_rows(X[idx], wave_bucket(len(idx)))
+            packed = np.asarray(batched(
+                jnp.asarray(Xw), d["Cs"], d["Rs"], d["mus"], d["subs"],
+                d["codes"], d["cell_start"], d["order"], d.get("feats"),
+                jnp.asarray(quota, dtype=jnp.int32)))    # one D2H sync
+            return unpack_query_out(packed[:k], R or K_pad)
+
+        rows_b, dists_b, ncells_b = self._escalate(
+            run_tier, len(X), quota, nb, R or K_pad)
+        K_out = min(R, K) if R else K
         return [
-            (self._rows_to_results(rows_b[i][:K], dists_b[i][:K], with_dists,
-                                   ids_arr, cells_arr, fine_arr,
+            (self._rows_to_results(rows_b[i][:K_out], dists_b[i][:K_out],
+                                   with_dists, ids_arr, cells_arr, fine_arr,
                                    with_codes=with_codes),
              int(ncells_b[i]))
             for i in range(len(X))
@@ -473,18 +593,22 @@ class LOPQSearcherTPU(LOPQSearcherBase):
         return out
 
     def search_device_feats(self, feats_dev, quota=10, limit=None,
-                            with_dists=True):
+                            with_dists=True, rerank_nb=None):
         """Serving fast path: RAW device-resident features (straight from
         the featurizer forward, pre-normalize, pre-PCA) -> results, in one
-        program + one device-to-host sync. Results carry code=None (like
-        the sharded/exhaustive backends). Returns [(results, visited)] per
-        query, same structure as :meth:`search_batch`."""
+        program + one device-to-host sync per probe tier (waves padded to
+        static bucket sizes). With ``rerank_nb`` and a resident feature
+        store the exact rerank is fused in too (see :meth:`search_batch`).
+        Results carry code=None (like the sharded/exhaustive backends).
+        Returns [(results, visited)] per query, same structure as
+        :meth:`search_batch`."""
         import jax.numpy as jnp
 
         from columbiaimagesearch_tpu.index.tpu_query import (
             fused_feat_query,
-            unpack_rows_dists_ncells,
+            unpack_query_out,
         )
+        from columbiaimagesearch_tpu.utils.chunking import wave_bucket
 
         if feats_dev.ndim == 1:
             feats_dev = feats_dev[None, :]
@@ -494,36 +618,55 @@ class LOPQSearcherTPU(LOPQSearcherBase):
             return [([], 0)] * nq
 
         V = self.model.V
-        B = self.probe_width or min(V, 64)
         K = min(limit if limit is not None else quota, nb)
         Q = min(round_up(int(quota) + 1024, 1024), round_up(nb, 256))
         K_pad = min(round_up(K, 16), Q)
         renorm = bool(getattr(self.model, "renorm", False))
+        R = 0
+        if rerank_nb:
+            if d.get("feats") is None:
+                raise ValueError(
+                    "rerank_nb requires a resident feature store "
+                    "(add_codes(..., feats=...) for every add)")
+            R = min(int(rerank_nb), K_pad)
 
-        packed = np.asarray(fused_feat_query(
-            feats_dev, d.get("pca_P"), d.get("pca_mu"),
-            d["Cs"], d["Rs"], d["mus"], d["subs"],
-            d["codes"], d["cell_start"], d["order"],
-            jnp.asarray(quota, dtype=jnp.int32),
-            V=V, B=B, Q=Q, K=K_pad, renorm=renorm,
-            lut_impl="stream"))   # one D2H sync; stream is vmap-safe
-        rows_b, dists_b, ncells_b = unpack_rows_dists_ncells(packed, K_pad)
+        def run_tier(idx, B):
+            Xt = feats_dev if len(idx) == nq else jnp.take(
+                feats_dev, jnp.asarray(idx), axis=0)
+            Xw, k = pad_rows(Xt, wave_bucket(len(idx)))
+            packed = np.asarray(fused_feat_query(
+                Xw, d.get("pca_P"), d.get("pca_mu"),
+                d["Cs"], d["Rs"], d["mus"], d["subs"],
+                d["codes"], d["cell_start"], d["order"],
+                jnp.asarray(quota, dtype=jnp.int32), d.get("feats"),
+                V=V, B=B, Q=Q, K=K_pad, R=R, renorm=renorm,
+                lut_impl="stream"))  # one D2H sync; stream is vmap-safe
+            return unpack_query_out(packed[:k], R or K_pad)
+
+        rows_b, dists_b, ncells_b = self._escalate(
+            run_tier, nq, quota, nb, R or K_pad)
+        K_out = min(R, K) if R else K
         return [
-            (self._rows_to_results(rows_b[i][:K], dists_b[i][:K], with_dists,
-                                   ids_arr, cells_arr, fine_arr,
+            (self._rows_to_results(rows_b[i][:K_out], dists_b[i][:K_out],
+                                   with_dists, ids_arr, cells_arr, fine_arr,
                                    with_codes=False),
              int(ncells_b[i]))
             for i in range(nq)
         ]
 
-    def search(self, x, quota=10, limit=None, with_dists=False):
-        """Fused device query; same contract as the parity searcher."""
+    def search(self, x, quota=10, limit=None, with_dists=False,
+               rerank_nb=None):
+        """Fused device query; same contract as the parity searcher.
+        Escalates the probe width when the candidate total falls short of
+        the quota or the grid certificate fails (see :attr:`PROBE_LADDER`);
+        ``rerank_nb`` fuses the exact rerank (see :meth:`search_batch`)."""
         import jax.numpy as jnp
 
         from columbiaimagesearch_tpu.index.tpu_query import (
             lopq_query_orig,
-            pack_rows_dists_ncells,
-            unpack_rows_dists_ncells,
+            lopq_query_rerank,
+            pack_query_out,
+            unpack_query_out,
         )
 
         if isinstance(self.model, LOPQModelPCA):
@@ -533,19 +676,40 @@ class LOPQSearcherTPU(LOPQSearcherBase):
             return [], 0
 
         V = self.model.V
-        B = self.probe_width or min(V, 64)
         K = min(limit if limit is not None else quota, nb)
         Q = min(round_up(int(quota) + 1024, 1024), round_up(nb, 256))
         K_pad = min(round_up(K, 16), Q)
+        R = 0
+        if rerank_nb:
+            if d.get("feats") is None:
+                raise ValueError(
+                    "rerank_nb requires a resident feature store "
+                    "(add_codes(..., feats=...) for every add)")
+            R = min(int(rerank_nb), K_pad)
+        xd = jnp.asarray(np.asarray(x, dtype=np.float32))
 
-        rows, dists, total, n_cells = lopq_query_orig(
-            jnp.asarray(np.asarray(x, dtype=np.float32)),
-            d["Cs"], d["Rs"], d["mus"], d["subs"],
-            d["codes"], d["cell_start"], d["order"], quota,
-            V=V, B=B, Q=Q, K=K_pad, lut_impl="auto")
-        packed = np.asarray(
-            pack_rows_dists_ncells(rows, dists, n_cells))  # one D2H sync
-        rows, dists, n_cells = unpack_rows_dists_ncells(packed, K_pad)
-        return (self._rows_to_results(rows[:K], dists[:K], with_dists,
-                                      ids_arr, cells_arr, fine_arr),
+        ladder = self._probe_ladder()
+        quota_eff = min(int(quota), nb)
+        for ti, B in enumerate(ladder):
+            if R:
+                out_d = lopq_query_rerank(
+                    xd, d["feats"], d["Cs"], d["Rs"], d["mus"], d["subs"],
+                    d["codes"], d["cell_start"], d["order"], quota,
+                    V=V, B=B, Q=Q, K=K_pad, R=R, lut_impl="auto")
+            else:
+                out_d = lopq_query_orig(
+                    xd, d["Cs"], d["Rs"], d["mus"], d["subs"],
+                    d["codes"], d["cell_start"], d["order"], quota,
+                    V=V, B=B, Q=Q, K=K_pad, lut_impl="auto")
+            packed = np.asarray(
+                pack_query_out(*out_d))             # one D2H sync per tier
+            rows, dists, total, n_cells, ok = unpack_query_out(
+                packed, R or K_pad)
+            if (ti + 1 == len(ladder)
+                    or (int(total) >= quota_eff and int(ok))):
+                break
+        K_out = min(R, K) if R else K
+        return (self._rows_to_results(rows[:K_out], dists[:K_out],
+                                      with_dists, ids_arr, cells_arr,
+                                      fine_arr),
                 int(n_cells))

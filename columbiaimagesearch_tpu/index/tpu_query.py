@@ -150,9 +150,17 @@ def lopq_query(
     K: int,       # results to return
     lut_impl: str = "stream",  # "stream" | "pallas" | "auto"
 ):
-    """Returns (top_rows [K] int32, top_dists [K] f32, n_candidates, n_cells).
+    """Returns (top_rows [K] int32, top_dists [K] f32, n_candidates, n_cells,
+    grid_ok).
 
     Rows index into the sorted ``codes`` array; invalid slots are -1/+inf.
+    ``grid_ok`` certifies the B x B grid restriction was lossless for this
+    query: the quota-crossing cell's approximate distance did not exceed
+    the cheapest cell OUTSIDE the grid (whose distance is at least
+    ``min(d0[B] + d1[0], d0[0] + d1[B])``), so the cells visited are
+    exactly the ones the reference's unrestricted multisequence walk
+    (lopq/lopq/search.py:13-135) would have visited. When it is False the
+    caller escalates to a wider B (see escalate_probe).
     """
     F = subs.shape[1]          # fine splits per half
     S = subs.shape[2]          # subquantizer clusters
@@ -166,9 +174,17 @@ def lopq_query(
         return jnp.sum(diff * diff, axis=1)  # [V]
 
     d0, d1 = split_dists(0), split_dists(1)
-    nd0, i0 = jax.lax.top_k(-d0, B)  # ascending distances
-    nd1, i1 = jax.lax.top_k(-d1, B)
-    td0, td1 = -nd0, -nd1
+    # One extra rank per split prices the cheapest OUT-of-grid cell for the
+    # grid_ok certificate.
+    Bx = min(B + 1, V)
+    nd0, i0x = jax.lax.top_k(-d0, Bx)  # ascending distances
+    nd1, i1x = jax.lax.top_k(-d1, Bx)
+    i0, i1 = i0x[:B], i1x[:B]
+    td0, td1 = -nd0[:B], -nd1[:B]
+    if Bx > B:
+        out_grid_min = jnp.minimum(-nd0[B] + td1[0], td0[0] + -nd1[B])
+    else:
+        out_grid_min = jnp.float32(jnp.inf)  # full grid: restriction-free
 
     # --- 2. sorted B x B cell grid (multisequence order) -------------------
     # lax.top_k returns its k results sorted ascending in distance — exactly
@@ -176,7 +192,7 @@ def lopq_query(
     # full argsort of the grid on TPU.
     grid = td0[:, None] + td1[None, :]              # [B, B]
     flat = grid.reshape(-1)
-    _, order = jax.lax.top_k(-flat, B * B)
+    neg_sorted, order = jax.lax.top_k(-flat, B * B)
     a_idx, b_idx = order // B, order % B             # slots into i0 / i1
     cell_ids = i0[a_idx] * V + i1[b_idx]             # [B*B] global cell ids
 
@@ -195,6 +211,11 @@ def lopq_query(
     scs = jnp.cumsum(sel_counts)
     total = scs[-1]
     n_cells = jnp.sum(selected.astype(jnp.int32))
+    # grid_ok: the last visited cell is still cheaper than anything the
+    # grid restriction cut off (ties break toward ok, matching the
+    # arbitrary tie order of the reference's heap).
+    d_stop = -neg_sorted[jnp.maximum(n_cells - 1, 0)]
+    grid_ok = d_stop <= out_grid_min
 
     j = jnp.arange(Q, dtype=jnp.int32)
     # Candidate slot j belongs to the cell whose cumulative range covers j:
@@ -277,48 +298,166 @@ def lopq_query(
 
     top_neg, top_idx = jax.lax.top_k(-dists, K)
     top_rows = jnp.where(jnp.isfinite(top_neg), rows[top_idx], -1)
-    return top_rows, -top_neg, total, n_cells
+    return top_rows, -top_neg, total, n_cells, grid_ok
+
+
+@functools.partial(
+    jax.jit, static_argnames=("V", "B", "Q", "K", "R", "lut_impl"))
+def lopq_query_rerank(x, feats, Cs, Rs, mus, subs, codes, cell_start, order,
+                      quota, *, V: int, B: int, Q: int, K: int, R: int,
+                      lut_impl: str = "stream"):
+    """Probed ADC query + device-resident exact rerank in ONE program.
+
+    The reference's production config serves with ``reranking: true``
+    (reference: conf/conf_search_sbpycaffe_release.json:16): take the top
+    ``rerank_nb`` ADC candidates, recompute exact distances against the
+    stored features, and re-sort (reference:
+    searcher_lopqhbase.py:862-912). There that is an HBase fetch plus a
+    numpy loop per query; here the feature matrix is HBM-resident in
+    insertion order (same row space as ``order``-mapped code rows), so the
+    rerank is one [R, Dr] gather + one fused distance/top-k — no host
+    round-trip and no extra dispatch.
+
+    ``feats`` live in the model's *index* space (post-PCA for lopq_pca) —
+    the space ``x`` is already projected into — so the recomputed
+    distances are exact in that space. Distances are reported as L2 norms
+    (not squared), matching the reference's ``np.linalg.norm``.
+
+    :param feats: [cap, Dr] feature matrix, insertion-order rows
+    :param R: rerank depth (static); candidates past R are dropped,
+        exactly like the reference's ``order[:rerank_nb]``
+    :returns: (rows [R] int32 insertion-order, exact_dists [R] f32,
+        total, n_cells, grid_ok)
+    """
+    rows, dists, total, n_cells, grid_ok = lopq_query(
+        x, Cs, Rs, mus, subs, codes, cell_start, quota, V=V, B=B, Q=Q, K=K,
+        lut_impl=lut_impl)
+    rows = jnp.where(rows >= 0, order[jnp.maximum(rows, 0)], -1)
+    rR = rows[:R]
+    cand = feats[jnp.maximum(rR, 0)].astype(jnp.float32)   # [R, Dr]
+    diff = cand - x[None, :]
+    exact = jnp.sqrt(jnp.sum(diff * diff, axis=1))
+    exact = jnp.where(rR >= 0, exact, jnp.inf)
+    top_neg, idx = jax.lax.top_k(-exact, R)
+    top_rows = jnp.where(jnp.isfinite(top_neg), rR[idx], -1)
+    return top_rows, -top_neg, total, n_cells, grid_ok
+
+
+#: Adaptive probe-width ladder. The reference's ``get_result_quota`` walks
+#: the full V x V multisequence grid until the quota is covered
+#: (lopq/lopq/search.py:110-135); the device kernel probes a static B x B
+#: grid, so queries whose candidate count falls short (dense regions
+#: exhaust a narrow grid) are automatically re-issued at the next width.
+#: 1024 caps the ladder: the grid/meta buffers grow with B^2, and at
+#: B=1024 the grid covers >=1M cells.
+PROBE_LADDER = (64, 256, 1024)
+
+
+def probe_ladder(V, probe_width=None, ladder=PROBE_LADDER):
+    """Widths to try in order; a manual ``probe_width`` pins a single one
+    (the pre-escalation behavior, kept as a benchmarking knob)."""
+    if probe_width:
+        return (min(probe_width, V),)
+    out = []
+    for w in ladder:
+        w = min(w, V)
+        if w not in out:
+            out.append(w)
+    return tuple(out)
+
+
+def escalate_probe(run_tier, ladder, n, quota, nb, K_pad):
+    """Host-side escalation driver shared by the single-chip and sharded
+    searchers: run ``run_tier(pending_idx, B)`` for successive ladder
+    widths, re-issuing only the queries whose tier was insufficient — the
+    device analogue of the reference's probe-until-quota loop
+    (lopq/lopq/search.py:110-135). A tier is insufficient when the
+    candidate total fell short of the (index-size-capped) quota, OR when
+    the kernel's ``grid_ok`` certificate shows the B x B grid restriction
+    cut off a cell the unrestricted multisequence walk would have visited
+    before the quota crossing (see lopq_query).
+
+    :param run_tier: (idx [k] int array, B) -> (rows [k, K_pad],
+        dists [k, K_pad], total [k], ncells [k], grid_ok [k]) numpy arrays
+    :returns: (rows [n, K_pad] int32, dists [n, K_pad] f32, ncells [n])
+    """
+    import numpy as np
+
+    quota_eff = min(int(quota), nb)
+    rows_b = np.full((n, K_pad), -1, np.int32)
+    dists_b = np.full((n, K_pad), np.inf, np.float32)
+    ncells_b = np.zeros(n, np.int64)
+    pend = np.arange(n)
+    for ti, B in enumerate(ladder):
+        r, dd, tot, nc, ok = run_tier(pend, B)
+        rows_b[pend], dists_b[pend], ncells_b[pend] = r, dd, nc
+        if ti + 1 == len(ladder):
+            break
+        short = (np.asarray(tot) < quota_eff) | (np.asarray(ok) == 0)
+        pend = pend[short]
+        if len(pend) == 0:
+            break
+    return rows_b, dists_b, ncells_b
 
 
 @jax.jit
-def pack_rows_dists_ncells(rows, dists, n_cells):
+def pack_query_out(rows, dists, total, n_cells, grid_ok):
     """Pack query outputs into one int32 vector ([K] rows, [K] bitcast
-    dists, [1] visited-cells) so the host needs a single blocking
-    device-to-host sync instead of three (each sync costs ~27 ms through
-    the dev relay; fewer round trips also help directly-attached chips)."""
+    dists, [1] candidates-found, [1] visited-cells, [1] grid-ok) so the
+    host needs a single blocking device-to-host sync instead of five
+    (each sync costs ~27 ms through the dev relay; fewer round trips also
+    help directly-attached chips). ``total``/``grid_ok`` ride along
+    because the adaptive probe escalation (reference quota contract,
+    lopq/lopq/search.py:110-135) re-issues any query whose candidate
+    count fell short of the quota — or whose grid certificate failed —
+    at a wider probe width."""
     return jnp.concatenate([
         rows,
         jax.lax.bitcast_convert_type(dists, jnp.int32),
-        jnp.reshape(n_cells, (1,)).astype(jnp.int32)])
+        jnp.reshape(total, (1,)).astype(jnp.int32),
+        jnp.reshape(n_cells, (1,)).astype(jnp.int32),
+        jnp.reshape(grid_ok, (1,)).astype(jnp.int32)])
 
 
-def unpack_rows_dists_ncells(packed, K_pad):
-    """Host-side inverse of :func:`pack_rows_dists_ncells` (numpy)."""
+def unpack_query_out(packed, K_pad):
+    """Host-side inverse of :func:`pack_query_out` (numpy).
+
+    :returns: (rows [.., K], dists [.., K] f32, total [..],
+        n_cells [..], grid_ok [..])
+    """
     import numpy as np
 
     rows = packed[..., :K_pad]
     dists = np.ascontiguousarray(
         packed[..., K_pad:2 * K_pad]).view(np.float32)
-    return rows, dists, packed[..., 2 * K_pad]
+    return (rows, dists, packed[..., 2 * K_pad],
+            packed[..., 2 * K_pad + 1], packed[..., 2 * K_pad + 2])
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("V", "B", "Q", "K", "renorm", "lut_impl"))
+    static_argnames=("V", "B", "Q", "K", "R", "renorm", "lut_impl"))
 def fused_feat_query(X, pca_P, pca_mu, Cs, Rs, mus, subs, codes, cell_start,
-                     order, quota, *, V: int, B: int, Q: int, K: int,
-                     renorm: bool = False, lut_impl: str = "stream"):
+                     order, quota, feats=None, *, V: int, B: int, Q: int,
+                     K: int, R: int = 0, renorm: bool = False,
+                     lut_impl: str = "stream"):
     """Raw extracted features -> packed search results in ONE program:
     L2-normalize, optional PCA projection (+renorm), vmapped probed query,
-    packed rows/dists/visited per query. The serving fast path — query
-    features never visit the host between the extraction forward and the
-    search (the reference round-trips through numpy between its featurizer
-    and searcher, generic_searcher.py:343-414 + searcher_lopqhbase.py:
-    833-857).
+    optional exact rerank over the HBM-resident feature matrix, packed
+    rows/dists/visited per query. The serving fast path — query features
+    never visit the host between the extraction forward and the search
+    (the reference round-trips through numpy between its featurizer and
+    searcher, generic_searcher.py:343-414 + searcher_lopqhbase.py:
+    833-857, and its rerank detours through an HBase fetch,
+    searcher_lopqhbase.py:862-912).
 
     :param X: [NQ, D_feat] raw features (any float dtype; cast to f32)
     :param pca_P: [D_feat, D] projection or None (plain lopq model)
-    :returns: [NQ, 2K+1] packed int32 (see pack_rows_dists_ncells)
+    :param feats: [cap, D] index-space feature matrix (insertion-order
+        rows) — required when R > 0
+    :param R: rerank depth; 0 disables rerank (see lopq_query_rerank)
+    :returns: [NQ, 2*K+2] packed int32 (or [NQ, 2*R+2] when R > 0;
+        see pack_query_out)
     """
     X = X.astype(jnp.float32)
     Xn = X / jnp.maximum(jnp.linalg.norm(X, axis=1, keepdims=True), 1e-30)
@@ -330,10 +469,15 @@ def fused_feat_query(X, pca_P, pca_mu, Cs, Rs, mus, subs, codes, cell_start,
         Xn = Xp
 
     def qfn(q):
-        rows, dists, total, ncells = lopq_query_orig(
-            q, Cs, Rs, mus, subs, codes, cell_start, order, quota,
-            V=V, B=B, Q=Q, K=K, lut_impl=lut_impl)
-        return pack_rows_dists_ncells(rows, dists, ncells)
+        if R > 0:
+            rows, dists, total, ncells, ok = lopq_query_rerank(
+                q, feats, Cs, Rs, mus, subs, codes, cell_start, order,
+                quota, V=V, B=B, Q=Q, K=K, R=R, lut_impl=lut_impl)
+        else:
+            rows, dists, total, ncells, ok = lopq_query_orig(
+                q, Cs, Rs, mus, subs, codes, cell_start, order, quota,
+                V=V, B=B, Q=Q, K=K, lut_impl=lut_impl)
+        return pack_query_out(rows, dists, total, ncells, ok)
 
     return jax.vmap(qfn)(Xn)
 
@@ -347,8 +491,8 @@ def lopq_query_orig(x, Cs, Rs, mus, subs, codes, cell_start, order, quota,
     row indices via the ``order`` permutation (see csr.append_and_build_csr).
     One jit: the gather fuses with the query instead of costing an extra
     dispatch per call."""
-    rows, dists, total, n_cells = lopq_query(
+    rows, dists, total, n_cells, grid_ok = lopq_query(
         x, Cs, Rs, mus, subs, codes, cell_start, quota, V=V, B=B, Q=Q, K=K,
         lut_impl=lut_impl)
     rows = jnp.where(rows >= 0, order[jnp.maximum(rows, 0)], -1)
-    return rows, dists, total, n_cells
+    return rows, dists, total, n_cells, grid_ok

@@ -228,10 +228,12 @@ def fit_kmeans_auto(X, k: int, iters: int = 10, n_init: int = 1,
                     seed: int | None = None):
     """Dispatch between on-device and streaming exact Lloyd by data size.
 
-    Device-resident inputs go straight to the on-device path (they already
-    fit in HBM; converting them to numpy here would cost a full D2H pull).
+    Oversized inputs stream from a host slab regardless of where they live:
+    the on-device Lloyd needs distance/one-hot buffers alongside X, so a
+    device-resident X above the threshold would OOM HBM — the one-time D2H
+    pull is the cheaper failure mode.
     """
-    if isinstance(X, np.ndarray) and X.size > STREAMING_THRESHOLD_ELEMENTS:
+    if getattr(X, "size", 0) > STREAMING_THRESHOLD_ELEMENTS:
         return fit_kmeans_streaming(np.asarray(X, dtype=np.float32), k,
                                     iters, n_init, seed)
     return fit_kmeans(X, k, iters, n_init, seed)

@@ -22,9 +22,11 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from columbiaimagesearch_tpu.index.tpu_encode import lopq_encode
 from columbiaimagesearch_tpu.index.tpu_query import (
+    escalate_probe,
     lopq_query,
-    pack_rows_dists_ncells,
-    unpack_rows_dists_ncells,
+    pack_query_out,
+    probe_ladder,
+    unpack_query_out,
 )
 from columbiaimagesearch_tpu.parallel.mesh import SHARD_AXIS, make_mesh, shard_rows
 from columbiaimagesearch_tpu.utils.chunking import round_up
@@ -104,12 +106,18 @@ class ShardedLOPQIndex:
         self._ids = None          # [n] host object array, insertion order
         self._cells_host = None   # [n] int64, insertion order (rebuilds)
         self._fine_host = None    # [n, M] uint8
+        self._feats_host = None   # [n, D] f32 rerank features, or None
         self._buf_cells = None    # device [n_dev, cap_per] int32
         self._buf_fine = None     # device [n_dev, cap_per, M] uint8
+        self._buf_feats = None    # device [n_dev, cap_per, D] f32
         self._cap_per = 0
         self._n_dev_rows = 0      # rows present in device buffers
         self._dev = None
         self._qfns = {}
+
+    @property
+    def has_rerank_feats(self):
+        return self._feats_host is not None and self.nb_indexed > 0
 
     # ------------------------------------------------------------- building
 
@@ -166,8 +174,13 @@ class ShardedLOPQIndex:
         g = np.arange(n0, n0 + k)
         return g % n_dev, g // n_dev
 
-    def append(self, coarse, fine, ids=None):
-        """Add rows; only the new rows cross the host->device boundary."""
+    def append(self, coarse, fine, ids=None, feats=None):
+        """Add rows; only the new rows cross the host->device boundary.
+        ``feats`` [k, D] keeps the matching index-space features resident
+        (row-sharded like the codes) for device-exact reranking — the
+        SURVEY §7.6 'codes + raw-rerank features across the mesh' store.
+        As on the single-chip searcher, one featureless append drops the
+        whole store (a gap would corrupt exact distances)."""
         from columbiaimagesearch_tpu.utils.codes import ids_to_object_array
 
         V = self.model.V
@@ -181,24 +194,36 @@ class ShardedLOPQIndex:
         ids_arr = (np.arange(self.nb_indexed, self.nb_indexed + k,
                              dtype=object) if ids is None
                    else ids_to_object_array(ids, k))
+        if feats is not None:
+            feats = np.ascontiguousarray(feats, dtype=np.float32)
+            if len(feats) != k:
+                raise ValueError(
+                    f"feats rows {len(feats)} != codes rows {k}")
         if self._ids is None:
             self._ids, self._cells_host, self._fine_host = (ids_arr, cells,
                                                             fine)
+            self._feats_host = feats
         else:
             self._ids = np.concatenate([self._ids, ids_arr])
             self._cells_host = np.concatenate([self._cells_host, cells])
             self._fine_host = np.concatenate([self._fine_host, fine])
+            if feats is not None and self._feats_host is not None:
+                self._feats_host = np.concatenate([self._feats_host, feats])
+            else:
+                self._feats_host = None
+                self._buf_feats = None
         self._upload(prev_n=self.nb_indexed)
         self.nb_indexed = len(self._ids)
 
-    def build(self, coarse, fine, ids=None):
+    def build(self, coarse, fine, ids=None, feats=None):
         """Bulk (re)build: resets state then appends everything."""
         self.nb_indexed = 0
         self._ids = self._cells_host = self._fine_host = None
-        self._buf_cells = self._buf_fine = None
+        self._feats_host = None
+        self._buf_cells = self._buf_fine = self._buf_feats = None
         self._cap_per = 0
         self._n_dev_rows = 0
-        self.append(coarse, fine, ids)
+        self.append(coarse, fine, ids, feats=feats)
 
     def _upload(self, prev_n):
         """Push rows [prev_n, n) into the device buffers and rebuild CSR."""
@@ -250,13 +275,58 @@ class ShardedLOPQIndex:
                      jax.device_put(chunk_c, sh),
                      jax.device_put(chunk_f, sh),
                      jax.device_put(offsets, sh))
+        if self._feats_host is not None:
+            self._upload_feats(prev_n, n, n_dev, sh)
         self._n_dev_rows = n
         # Atomic swap: concurrent queries keep a consistent triple.
         dev = dict(self._dev)
         dev["codes"] = codes
         dev["cell_start"] = cell_start
         dev["order"] = order
+        dev["feats"] = self._buf_feats
         self._dev = dev
+
+    def _upload_feats(self, prev_n, n, n_dev, sh):
+        """Mirror the codes upload for the insertion-order feature store:
+        full scatter on (re)build, per-shard dynamic_update_slice chunks on
+        incremental refresh."""
+        D = self._feats_host.shape[1]
+        if (self._buf_feats is None
+                or self._buf_feats.shape[1] != self._cap_per):
+            fbuf = np.zeros((n_dev, self._cap_per, D), np.float32)
+            shard_of, slot_of = self._deal(0, n, n_dev)
+            fbuf[shard_of, slot_of] = self._feats_host
+            self._buf_feats = jax.device_put(fbuf, sh)
+            return
+        k = n - prev_n
+        if k == 0:
+            return
+        shard_of, slot_of = self._deal(prev_n, k, n_dev)
+        base = self._per_shard_count(prev_n, n_dev)
+        per_new = np.bincount(shard_of, minlength=n_dev)
+        kq = int(round_up(max(int(per_new.max()), 1), self.CHUNK_QUANTUM))
+        chunk = np.zeros((n_dev, kq, D), np.float32)
+        chunk[shard_of, slot_of - base[shard_of]] = self._feats_host[prev_n:n]
+        offsets = base[:, None].astype(np.int32)
+
+        key = ("fappend", self._cap_per, kq, D)
+        fn = self._qfns.get(key)
+        if fn is None:
+            def shard_fappend(buf, chunk, offset):
+                b = jax.lax.dynamic_update_slice(
+                    buf[0], chunk[0], (offset[0, 0], jnp.int32(0)))
+                return b[None]
+
+            # NOT donated: dev["feats"] is query-visible, and the atomic
+            # snapshot contract lets in-flight queries keep reading the
+            # previous buffer while the refresh swaps in the new one.
+            fn = jax.jit(jax.shard_map(
+                shard_fappend, mesh=self.mesh,
+                in_specs=(P(SHARD_AXIS),) * 3,
+                out_specs=P(SHARD_AXIS)))
+            self._qfns[key] = fn
+        self._buf_feats = fn(self._buf_feats, jax.device_put(chunk, sh),
+                             jax.device_put(offsets, sh))
 
     @staticmethod
     def _per_shard_count(n, n_dev):
@@ -267,79 +337,160 @@ class ShardedLOPQIndex:
 
     # -------------------------------------------------------------- queries
 
-    def _query_fn(self, V, B, Q, K):
+    def _query_fn(self, V, B, Q, K, R=0):
         # Cache compiled fan-out functions per static config — building a
         # fresh shard_map closure per call would miss jax's jit cache.
-        key = (V, B, Q, K)
+        # The wave (query-batch) axis is vmapped inside the shard_map, so
+        # one compiled program serves any bucketed wave size without
+        # retracing the collective layout.
+        key = (V, B, Q, K, R)
         cached = self._qfns.get(key)
         if cached is not None:
             return cached
         mesh = self.mesh
+        n_dev = mesh.devices.size
 
-        def shard_query(x, Cs, Rs, mus, subs, codes, cell_start, order,
-                        quota):
-            # Inside shard_map: codes [1, cap, M], cell_start [1, V^2+1],
-            # order [1, cap] (sorted position -> in-shard insertion slot).
-            rows, dists, total, ncells = lopq_query(
-                x, Cs, Rs, mus, subs, codes[0], cell_start[0], quota,
-                V=V, B=B, Q=Q, K=K)
+        def shard_query(X, Cs, Rs, mus, subs, codes, cell_start, order,
+                        quota, *feats):
+            # Inside shard_map: X [nq, D] replicated, codes [1, cap, M],
+            # cell_start [1, V^2+1], order [1, cap] (sorted position ->
+            # in-shard insertion slot), feats [1, cap, D] when reranking.
+            def one(x):
+                return lopq_query(
+                    x, Cs, Rs, mus, subs, codes[0], cell_start[0], quota,
+                    V=V, B=B, Q=Q, K=K)
+
+            rows, dists, total, ncells, ok = jax.vmap(one)(X)  # [nq, K] x2
             shard_id = jax.lax.axis_index(SHARD_AXIS)
-            slots = order[0][jnp.maximum(rows, 0)]
+            slots = order[0][jnp.maximum(rows, 0)]             # [nq, K]
             # global insertion index = slot * n_dev + shard (round-robin)
-            rows_g = jnp.where(rows >= 0,
-                               slots * mesh.devices.size + shard_id, -1)
-            # all_gather the tiny top-k and merge on every shard.
-            all_rows = jax.lax.all_gather(rows_g, SHARD_AXIS).reshape(-1)
-            all_dists = jax.lax.all_gather(dists, SHARD_AXIS).reshape(-1)
-            top_neg, top_i = jax.lax.top_k(-all_dists, K)
-            # One packed int32 return -> one host sync (see tpu_query
-            # pack_rows_dists_ncells).
-            return pack_rows_dists_ncells(
-                all_rows[top_i], -top_neg,
-                jax.lax.psum(ncells, SHARD_AXIS))[None]
+            rows_g = jnp.where(rows >= 0, slots * n_dev + shard_id, -1)
 
+            def gather_q(a):          # [nq, K] -> [nq, n_dev*K]
+                return jnp.moveaxis(
+                    jax.lax.all_gather(a, SHARD_AXIS), 0, 1
+                ).reshape(rows.shape[0], -1)
+
+            # all_gather the tiny per-query top-k and merge on every shard.
+            all_rows = gather_q(rows_g)
+            all_dists = gather_q(dists)
+            top_neg, top_i = jax.lax.top_k(-all_dists, K)  # [nq, K], by ADC
+            m_rows = jnp.take_along_axis(all_rows, top_i, axis=1)
+            m_dists = -top_neg
+            if R:
+                # Device-exact rerank across the mesh: each shard scores
+                # its OWN top-K candidates against its local feature
+                # shard (exact distances ride the same all_gather as the
+                # ADC ones), then the globally-merged top-R-by-ADC set is
+                # re-sorted by exact distance — the reference's
+                # rerank-and-resort (searcher_lopqhbase.py:862-912) with
+                # the feature fetch replaced by shard-local HBM reads.
+                cand = feats[0][0][jnp.maximum(slots, 0)]   # [nq, K, D]
+                diff = cand - X[:, None, :]
+                exact = jnp.sqrt(jnp.sum(diff * diff, axis=2))
+                exact = jnp.where(rows >= 0, exact, jnp.inf)
+                all_exact = gather_q(exact)
+                m_exact = jnp.take_along_axis(
+                    all_exact, top_i, axis=1)[:, :R]        # [nq, R]
+                r_neg, r_i = jax.lax.top_k(-m_exact, R)
+                m_rows = jnp.take_along_axis(m_rows[:, :R], r_i, axis=1)
+                m_rows = jnp.where(jnp.isfinite(r_neg), m_rows, -1)
+                m_dists = -r_neg
+            # One packed int32 return -> one host sync (see tpu_query
+            # pack_query_out). total/ncells are summed across shards (the
+            # global candidate count drives probe escalation); grid_ok
+            # holds only if EVERY shard's grid restriction was lossless.
+            packed = jax.vmap(pack_query_out)(
+                m_rows, m_dists,
+                jax.lax.psum(total, SHARD_AXIS),
+                jax.lax.psum(ncells, SHARD_AXIS),
+                jax.lax.psum(1 - ok.astype(jnp.int32), SHARD_AXIS) == 0)
+            return packed[None]
+
+        in_specs = (P(), P(), P(), P(), P(), P(SHARD_AXIS), P(SHARD_AXIS),
+                    P(SHARD_AXIS), P())
+        if R:
+            in_specs = in_specs + (P(SHARD_AXIS),)
         fn = jax.jit(jax.shard_map(
             shard_query,
             mesh=mesh,
-            in_specs=(P(), P(), P(), P(), P(), P(SHARD_AXIS), P(SHARD_AXIS),
-                      P(SHARD_AXIS), P()),
+            in_specs=in_specs,
             out_specs=P(SHARD_AXIS),
         ))
         self._qfns[key] = fn
         return fn
 
-    def search(self, x, quota=10, limit=None):
-        """Fan the query out to all shards; returns ([(id, dist)], cells_visited)."""
-        if isinstance(x, np.ndarray) is False:
-            x = np.asarray(x, dtype=np.float32)
-        from columbiaimagesearch_tpu.index.model import LOPQModelPCA
+    def search_batch(self, X, quota=10, limit=None, rerank_nb=None):
+        """Fan a wave of queries out to all shards in one launch per probe
+        tier; returns a list of ([(id, dist)], cells_visited) per query.
 
+        The wave is padded to a bucketed static batch size (one compile
+        per bucket) and insufficient-tier queries escalate through the
+        probe ladder, exactly like the single-chip ``search_batch``.
+        ``rerank_nb`` (with resident features, see :meth:`append`) fuses
+        the mesh-wide exact rerank into the same launch."""
+        from columbiaimagesearch_tpu.index.model import LOPQModelPCA
+        from columbiaimagesearch_tpu.utils.chunking import wave_bucket
+
+        X = np.asarray(X, dtype=np.float32)
+        if X.ndim == 1:
+            X = X[None, :]
         if isinstance(self.model, LOPQModelPCA):
-            x = self.model.apply_PCA(x)
+            X = self.model.apply_PCA(X)
+        nq = len(X)
+        nb = self.nb_indexed
+        if nb == 0:
+            return [([], 0)] * nq
 
         V = self.model.V
-        B = self.probe_width or min(V, 64)
-        K = min(limit if limit is not None else quota, max(self.nb_indexed, 1))
+        K = min(limit if limit is not None else quota, max(nb, 1))
         Q = min(round_up(int(quota * 1.5) + 256, 1024),
                 round_up(max(self._cap_per, 256), 256))
         K_pad = min(round_up(K, 16), Q)
+        R = 0
+        if rerank_nb:
+            if self._dev.get("feats") is None:
+                raise ValueError(
+                    "rerank_nb requires a resident feature store "
+                    "(append(..., feats=...) for every append)")
+            R = min(int(rerank_nb), K_pad)
 
-        qfn = self._query_fn(V, B, Q, K_pad)
         d = self._dev          # snapshot (swapped atomically on refresh)
         ids_snap = self._ids
-        packed = qfn(
-            jnp.asarray(x, dtype=jnp.float32), d["Cs"], d["Rs"], d["mus"],
-            d["subs"], d["codes"], d["cell_start"], d["order"],
-            jnp.asarray(quota, dtype=jnp.int32))
-        # Every shard returns the same merged top-k; take shard 0's copy.
-        packed = np.asarray(packed)[0]                    # one D2H sync
-        rows, dists, ncells = unpack_rows_dists_ncells(packed, K_pad)
+
+        def run_tier(idx, B):
+            from columbiaimagesearch_tpu.utils.chunking import pad_rows
+
+            qfn = self._query_fn(V, B, Q, K_pad, R)
+            Xw, k = pad_rows(X[idx], wave_bucket(len(idx)))
+            extra = (d["feats"],) if R else ()
+            packed = qfn(
+                jnp.asarray(Xw), d["Cs"], d["Rs"], d["mus"],
+                d["subs"], d["codes"], d["cell_start"], d["order"],
+                jnp.asarray(quota, dtype=jnp.int32), *extra)
+            # Every shard returns the same merged top-k; take shard 0's.
+            packed = np.asarray(packed)[0]                # one D2H sync
+            return unpack_query_out(packed[:k], R or K_pad)
+
+        ladder = probe_ladder(V, self.probe_width)
+        rows_b, dists_b, ncells_b = escalate_probe(
+            run_tier, ladder, nq, quota, nb, R or K_pad)
+        K_out = min(R, K) if R else K
         out = []
-        for r, dist in zip(rows[:K], dists[:K]):
-            if r < 0 or not np.isfinite(dist):
-                continue
-            out.append((ids_snap[int(r)], float(dist)))
-        return out, int(ncells)
+        for i in range(nq):
+            pairs = []
+            for r, dist in zip(rows_b[i][:K_out], dists_b[i][:K_out]):
+                if r < 0 or not np.isfinite(dist):
+                    continue
+                pairs.append((ids_snap[int(r)], float(dist)))
+            out.append((pairs, int(ncells_b[i])))
+        return out
+
+    def search(self, x, quota=10, limit=None, rerank_nb=None):
+        """Fan the query out to all shards; returns ([(id, dist)], cells_visited)."""
+        return self.search_batch(np.asarray(x, dtype=np.float32)[None],
+                                 quota=quota, limit=limit,
+                                 rerank_nb=rerank_nb)[0]
 
 
 class ShardedLOPQSearcher:
@@ -364,8 +515,10 @@ class ShardedLOPQSearcher:
         self._mutlock = threading.RLock()
         self.nb_indexed = 0
 
-    def add_codes(self, codes, ids=None):
-        """Array-path insertion: codes is (coarse [n,2], fine [n,M])."""
+    def add_codes(self, codes, ids=None, feats=None):
+        """Array-path insertion: codes is (coarse [n,2], fine [n,M]);
+        ``feats`` optionally keeps index-space features resident for
+        device reranking (see ShardedLOPQIndex.append)."""
         from columbiaimagesearch_tpu.utils.codes import ids_to_object_array
 
         coarse, fine = codes
@@ -374,8 +527,10 @@ class ShardedLOPQSearcher:
         n = len(coarse)
         ids_arr = (np.arange(n, dtype=object) if ids is None
                    else ids_to_object_array(ids, n))
+        if feats is not None:
+            feats = np.ascontiguousarray(feats, dtype=np.float32)
         with self._mutlock:
-            self._parts.append((coarse, fine, ids_arr))
+            self._parts.append((coarse, fine, ids_arr, feats))
             self._dirty = True
 
     def add_codes_from_dict(self, codes_dict):
@@ -387,7 +542,7 @@ class ShardedLOPQSearcher:
         coarse = np.asarray([codes_dict[i][0] for i in ids], dtype=np.int32)
         fine = np.asarray([codes_dict[i][1] for i in ids], dtype=np.int32)
         with self._mutlock:
-            self._parts.append((coarse, fine, ids))
+            self._parts.append((coarse, fine, ids, None))
             self._dirty = True
 
     def get_nb_indexed(self):
@@ -403,6 +558,9 @@ class ShardedLOPQSearcher:
             coarse = np.concatenate([p[0] for p in self._parts])
             fine = np.concatenate([p[1] for p in self._parts])
             ids = np.concatenate([p[2] for p in self._parts])
+            feats = (np.concatenate([p[3] for p in self._parts])
+                     if all(p[3] is not None for p in self._parts)
+                     else None)
             self._parts = []
             # Exact first-insertion dedup, incremental: only the PENDING
             # rows are hashed (interned id table + sorted key set persist
@@ -412,20 +570,45 @@ class ShardedLOPQSearcher:
             keep = self._dedup.filter_new(cells, ids)
             if not keep.all():
                 coarse, fine, ids = coarse[keep], fine[keep], ids[keep]
+                if feats is not None:
+                    feats = feats[keep]
             if len(ids):
-                self.index.append(coarse, fine, ids)
+                self.index.append(coarse, fine, ids, feats=feats)
             self.nb_indexed = self.index.nb_indexed
             self._dirty = False
 
-    def search(self, x, quota=10, limit=None, with_dists=False):
+    @property
+    def has_rerank_feats(self):
+        self._maybe_build()
+        return self.index.has_rerank_feats
+
+    @staticmethod
+    def _to_results(pairs, with_dists):
         from columbiaimagesearch_tpu.index.searcher import Result, ResultDist
 
+        if with_dists:
+            return [ResultDist(rid, None, dist) for rid, dist in pairs]
+        return [Result(rid, None) for rid, dist in pairs]
+
+    def search(self, x, quota=10, limit=None, with_dists=False,
+               rerank_nb=None):
         self._maybe_build()
         if self.nb_indexed == 0:
             return [], 0
-        pairs, visited = self.index.search(x, quota=quota, limit=limit)
-        if with_dists:
-            out = [ResultDist(rid, None, dist) for rid, dist in pairs]
-        else:
-            out = [Result(rid, None) for rid, dist in pairs]
-        return out, visited
+        pairs, visited = self.index.search(x, quota=quota, limit=limit,
+                                           rerank_nb=rerank_nb)
+        return self._to_results(pairs, with_dists), visited
+
+    def search_batch(self, X, quota=10, limit=None, with_dists=False,
+                     with_codes=False, rerank_nb=None):
+        """Wave-batched mesh queries (same contract as the single-chip
+        ``LOPQSearcherTPU.search_batch``; codes are never materialized on
+        the sharded backend, so ``with_codes`` is accepted and ignored)."""
+        del with_codes  # sharded results always carry code=None
+        self._maybe_build()
+        if self.nb_indexed == 0:
+            return [([], 0)] * len(X)
+        waves = self.index.search_batch(X, quota=quota, limit=limit,
+                                        rerank_nb=rerank_nb)
+        return [(self._to_results(pairs, with_dists), visited)
+                for pairs, visited in waves]

@@ -151,7 +151,11 @@ class GenericSearcher:
                     if int(status[0]) == 0:
                         feats.append(fts[0])
                         continue
-                elif hasattr(self.featurizer, "featurize_buffers"):
+                # Device-path failure falls back here first: the buffers
+                # path shares extraction's decode, so query features stay
+                # bit-identical to stored ones (the PIL decode below does
+                # not — last resort only).
+                if hasattr(self.featurizer, "featurize_buffers"):
                     buf.seek(0)
                     fts, status = self.featurizer.featurize_buffers(
                         [buf.read()])

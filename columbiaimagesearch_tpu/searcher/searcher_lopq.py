@@ -32,9 +32,14 @@ class SearcherLOPQ(GenericSearcher):
                  subquantizer_clusters=256, pca_dims=256, nb_train=100000,
                  nb_min_train=1000, nb_train_pca=50000, model=None,
                  train_at_init=False, probe_width=None, sharded=False,
-                 exact=False, codestore_path=None, **kwargs):
+                 exact=False, codestore_path=None, store_rerank_feats=False,
+                 **kwargs):
         self.sharded = sharded
         self.exact = exact
+        #: keep index-space features HBM-resident at indexing time so
+        #: reranking runs fused on device (reference production config
+        #: serves with reranking on, conf_search_sbpycaffe_release.json:16)
+        self.store_rerank_feats = store_rerank_feats
         self.codestore_path = codestore_path
         self.model_type = model_type
         self.V = V
@@ -175,11 +180,18 @@ class SearcherLOPQ(GenericSearcher):
     def compute_codes(self, update_id, sha1s):
         """Encode one update's features and cache the code dict
         (reference: searcher_lopqhbase.py:482-524)."""
+        out = self._compute_update(update_id, sha1s)
+        return out[0] if out else {}
+
+    def _compute_update(self, update_id, sha1s):
+        """Encode one update; returns (codes_dict, sids, coarse, fine,
+        index_space_feats) or None. The index-space features feed the
+        device rerank store when ``store_rerank_feats`` is on."""
         extr_str = self.build_extr_str()
         sids, feats = self.indexer.get_features_from_sha1s(
             sha1s, extr_str, self.featurizer_type)
         if not sids:
-            return {}
+            return None
         data = np.vstack(feats).astype(np.float32)
         coarse, fine = self.model.predict_batch(data)
         codes = {sid: (tuple(int(c) for c in coarse[i]),
@@ -187,7 +199,9 @@ class SearcherLOPQ(GenericSearcher):
                  for i, sid in enumerate(sids)}
         if self.storer is not None:
             self.storer.save(self._codes_key(update_id), codes)
-        return codes
+        feats_idx = (self.model.apply_PCA(data)
+                     if isinstance(self.model, LOPQModelPCA) else data)
+        return codes, sids, coarse, fine, feats_idx
 
     def load_codes(self, start_date=START_DATE):
         """Incrementally index new updates
@@ -201,15 +215,27 @@ class SearcherLOPQ(GenericSearcher):
             for update_id, cols in batch:
                 if update_id in self.indexed_updates:
                     continue
+                col_list = self.indexer.get_col_listsha1s()
+                sha1s = cols.get(col_list)
+                if isinstance(sha1s, bytes):
+                    sha1s = sha1s.decode()
+                if self.store_rerank_feats and sha1s:
+                    # Rerank store needs the features, so the cached code
+                    # dict is not enough — recompute from the indexer and
+                    # add codes + index-space features together.
+                    out = self._compute_update(update_id, sha1s.split(","))
+                    if out:
+                        _, sids, coarse, fine, feats_idx = out
+                        self.searcher.add_codes((coarse, fine), sids,
+                                                feats=feats_idx)
+                        added += len(sids)
+                    self.indexed_updates.add(update_id)
+                    continue
                 codes = (self.storer.load(self._codes_key(update_id))
                          if self.storer is not None else None)
                 if not codes:
-                    col_list = self.indexer.get_col_listsha1s()
-                    if col_list not in cols:
+                    if not sha1s:
                         continue
-                    sha1s = cols[col_list]
-                    if isinstance(sha1s, bytes):
-                        sha1s = sha1s.decode()
                     codes = self.compute_codes(update_id, sha1s.split(","))
                 if codes:
                     self.searcher.add_codes_from_dict(codes)
@@ -238,7 +264,16 @@ class SearcherLOPQ(GenericSearcher):
         """
         limit = (max_returned if not reranking
                  else max(max_returned, rerank_nb))
-        if (feat_list and not reranking
+        # Device-resident rerank: when every indexed row has a feature in
+        # HBM (see LOPQSearcherTPU.add_codes feats), the exact rerank
+        # fuses into the query program — the reference's production
+        # reranking path (searcher_lopqhbase.py:862-912) without the
+        # indexer round-trip. Results then arrive already re-sorted by
+        # exact distance, so _rank_results only filters/truncates.
+        device_rerank = bool(
+            reranking and getattr(self.searcher, "has_rerank_feats", False))
+        dev_rerank_nb = rerank_nb if device_rerank else None
+        if (feat_list and (not reranking or device_rerank)
                 and hasattr(self.searcher, "search_device_feats")
                 and all(hasattr(f, "block_until_ready") for f in feat_list)):
             # Fused device path: raw device features straight from the
@@ -247,7 +282,7 @@ class SearcherLOPQ(GenericSearcher):
 
             X = jnp.stack([jnp.ravel(f) for f in feat_list])
             waves = self.searcher.search_device_feats(
-                X, quota=quota, limit=limit)
+                X, quota=quota, limit=limit, rerank_nb=dev_rerank_nb)
             return [
                 self._rank_results(None, results, visited, max_returned,
                                    False, rerank_nb, filter_near_dup,
@@ -259,11 +294,14 @@ class SearcherLOPQ(GenericSearcher):
                             for f in feat_list])
             Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True),
                                 1e-30)
+            kw = {"rerank_nb": dev_rerank_nb} if device_rerank else {}
             waves = self.searcher.search_batch(
-                Xn, quota=quota, limit=limit, with_dists=True)
+                Xn, quota=quota, limit=limit, with_dists=True,
+                with_codes=False, **kw)
             return [
                 self._rank_results(Xn[i], results, visited, max_returned,
-                                   reranking, rerank_nb, filter_near_dup,
+                                   reranking and not device_rerank,
+                                   rerank_nb, filter_near_dup,
                                    near_dup_th, split_ids)
                 for i, (results, visited) in enumerate(waves)
             ]
@@ -278,11 +316,16 @@ class SearcherLOPQ(GenericSearcher):
         """One query feature -> (ids, dists, visited)."""
         norm = np.linalg.norm(feat)
         normed = np.squeeze(np.asarray(feat, dtype=np.float32) / norm)
+        limit = (max_returned if not reranking
+                 else max(max_returned, rerank_nb))
+        device_rerank = bool(
+            reranking and getattr(self.searcher, "has_rerank_feats", False))
+        kw = {"rerank_nb": rerank_nb} if device_rerank else {}
         results, visited = self.searcher.search(
-            normed, quota=quota, limit=max_returned if not reranking
-            else max(max_returned, rerank_nb), with_dists=True)
+            normed, quota=quota, limit=limit, with_dists=True, **kw)
         return self._rank_results(normed, results, visited, max_returned,
-                                  reranking, rerank_nb, filter_near_dup,
+                                  reranking and not device_rerank,
+                                  rerank_nb, filter_near_dup,
                                   near_dup_th, split_ids)
 
     def _rank_results(self, normed, results, visited, max_returned,

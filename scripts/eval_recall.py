@@ -83,24 +83,25 @@ def main():
     qd = jnp.asarray(queries)
 
     @jax.jit
-    def chunk_nn(qd, Xc, best_d, best_i, base):
+    def chunk_nn(qd, Xc):
         d = (jnp.sum(Xc * Xc, 1)[None, :]
              - 2.0 * jnp.dot(qd, Xc.T, preferred_element_type=jnp.float32))
         i = jnp.argmin(d, axis=1)
         dmin = jnp.take_along_axis(d, i[:, None], axis=1)[:, 0]
-        upd = dmin < best_d
-        return (jnp.where(upd, dmin, best_d),
-                jnp.where(upd, base + i, best_i))
+        return dmin, i
 
-    best_d = jnp.full(len(queries), np.inf, jnp.float32)
-    best_i = jnp.zeros(len(queries), jnp.int64 if args.n > (1 << 31)
-                       else jnp.int32)
+    # Global best indices accumulate on host in int64: device int32 would
+    # wrap past 2^31 rows (jax x64 is off, so jnp.int64 silently degrades).
+    best_d = np.full(len(queries), np.inf, np.float32)
+    best_i = np.zeros(len(queries), np.int64)
     gt_chunk = 1 << 21
     for s0 in range(0, args.n, gt_chunk):
-        best_d, best_i = chunk_nn(
-            qd, jnp.asarray(X[s0:s0 + gt_chunk]), best_d, best_i,
-            jnp.asarray(s0, best_i.dtype))
-    nns = np.asarray(best_i)
+        dmin, i = chunk_nn(qd, jnp.asarray(X[s0:s0 + gt_chunk]))
+        dmin, i = np.asarray(dmin), np.asarray(i)
+        upd = dmin < best_d
+        best_d = np.where(upd, dmin, best_d)
+        best_i = np.where(upd, s0 + i.astype(np.int64), best_i)
+    nns = best_i
 
     Cs = jnp.stack([jnp.asarray(C) for C in model.Cs])
     Rs = jnp.stack([jnp.asarray(R) for R in model.Rs])

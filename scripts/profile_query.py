@@ -178,7 +178,7 @@ def main():
 
     if args.full_only:
         def full0(c, x, Cs, Rs, mus, subs, codes, cell_start, quota):
-            rows, dists, total, ncells = lopq_query(
+            rows, dists, total, ncells, _gok = lopq_query(
                 x + c, Cs, Rs, mus, subs, codes, cell_start, quota,
                 V=V, B=B, Q=Q, K=K, lut_impl=args.lut_impl)
             return dists[0]
@@ -201,7 +201,7 @@ def main():
         prev = t
 
     def full(c, x, Cs, Rs, mus, subs, codes, cell_start, quota):
-        rows, dists, total, ncells = lopq_query(
+        rows, dists, total, ncells, _gok = lopq_query(
             x + c, Cs, Rs, mus, subs, codes, cell_start, quota,
             V=V, B=B, Q=Q, K=K)
         return dists[0]

@@ -82,14 +82,60 @@ def test_fused_path_matches_host_path(setup):
 
 
 def test_fused_path_disabled_under_reranking(setup):
-    """reranking needs host features; the fused route must fall back and
-    still produce results."""
+    """reranking without a resident feature store needs host features;
+    the fused route must fall back and still produce results."""
     searcher, featurizer, jpeg, own = setup
     b64 = base64.b64encode(jpeg).decode()
     out = searcher.search_imageB64_list(
         [b64], {"max_returned": 5, "reranking": True, "rerank_nb": 10})
     sims = out["AllSimilarImages"][0]["SimilarImages"]
     assert sims["ImageSha1s"]
+
+
+def test_fused_path_with_device_rerank():
+    """With the feature store resident, reranking stays ON the fused
+    device route and the planted self-feature ranks first with (near-)
+    zero exact distance — quantization noise can bury it in the ADC-only
+    ranking, but the exact rerank must surface it."""
+    from columbiaimagesearch_tpu.index.model import LOPQModelPCA
+    from columbiaimagesearch_tpu.models.sentibank import SentibankFeaturizer
+    from columbiaimagesearch_tpu.searcher.searcher_lopq import SearcherLOPQ
+    from PIL import Image
+
+    rng = np.random.RandomState(1)
+    train = rng.randn(400, 4096).astype(np.float32)
+    train /= np.linalg.norm(train, axis=1, keepdims=True)
+    model = LOPQModelPCA(V=8, M=4, subquantizer_clusters=16, renorm=True)
+    model.fit(train, pca_dims=32, kmeans_coarse_iters=3,
+              kmeans_local_iters=3, n_init=1, random_state=0)
+
+    featurizer = SentibankFeaturizer()
+    searcher = SearcherLOPQ(
+        model=model, model_type="lopq_pca", V=8, M=4, pca_dims=32,
+        skip_get_sim_info=True, detector_type="full",
+        featurizer=featurizer, sim_limit=10, reranking=True, rerank_nb=20)
+
+    img = rng.randint(0, 255, (96, 128, 3), dtype=np.uint8)
+    b = io.BytesIO()
+    Image.fromarray(img).save(b, format="JPEG", quality=90)
+    jpeg = b.getvalue()
+    own, status = featurizer.featurize_buffers([jpeg])
+    assert status[0] == 0
+    own = own[0] / np.linalg.norm(own[0])
+    X = rng.randn(300, 4096).astype(np.float32)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    X = np.vstack([X, own[None, :]])
+    co, fi = model.predict_batch(X)
+    searcher.searcher.add_codes(
+        (co, fi), ids=[f"sha{i}" for i in range(len(X))],
+        feats=model.apply_PCA(X))
+    assert searcher.searcher.has_rerank_feats
+
+    b64 = base64.b64encode(jpeg).decode()
+    out = searcher.search_imageB64_list([b64], {"max_returned": 5})
+    sims = out["AllSimilarImages"][0]["SimilarImages"]
+    assert sims["ImageSha1s"][0] == f"sha{len(X) - 1}"
+    assert sims["Distances"][0] < 1e-3
 
 
 def test_search_device_feats_plain_lopq():

@@ -1,0 +1,151 @@
+"""Adaptive probe escalation: the device searcher must honor the
+reference's quota contract (probe until ``quota`` candidates or the grid
+is exhausted, lopq/lopq/search.py:110-135) even when the candidates live
+outside the default B=64 probe grid."""
+
+import numpy as np
+import pytest
+
+from columbiaimagesearch_tpu.index.model import LOPQModel
+from columbiaimagesearch_tpu.index.searcher import LOPQSearcher, LOPQSearcherTPU
+
+from tests.oracle_lopq import adc_distance, random_params
+
+
+@pytest.fixture(scope="module")
+def hard_setup():
+    """An index whose every row lives in cells formed from the 64
+    FARTHEST coarse clusters per split for the probe query: the default
+    B=64 grid finds zero candidates, so only escalation (or the host
+    searcher's exhaustive multisequence walk) can satisfy the quota."""
+    rng = np.random.RandomState(7)
+    V, M, S, D = 128, 4, 16, 32
+    params = random_params(rng, V=V, M=M, S=S, D=D)
+    model = LOPQModel(parameters=params)
+    q = rng.randn(D).astype(np.float32)
+
+    Cs = params[0]
+    h0, h1 = np.split(q, 2)
+    far0 = np.argsort(((h0[None] - Cs[0]) ** 2).sum(1))[64:]
+    far1 = np.argsort(((h1[None] - Cs[1]) ** 2).sum(1))[64:]
+    n = 500
+    coarse = np.stack([rng.choice(far0, n), rng.choice(far1, n)], axis=1)
+    fine = rng.randint(0, S, (n, M))
+    ids = [f"hard_{i}" for i in range(n)]
+    return model, params, q, coarse, fine, ids
+
+
+def test_pinned_narrow_probe_misses(hard_setup):
+    """Sanity: without escalation (probe_width=64 pinned) the narrow grid
+    finds nothing — the regression the ladder exists to fix."""
+    model, params, q, coarse, fine, ids = hard_setup
+    s = LOPQSearcherTPU(model, probe_width=64)
+    s.add_codes((coarse, fine), ids)
+    results, _ = s.search(q, quota=50, limit=10, with_dists=True)
+    assert len(results) == 0
+
+
+def test_search_escalates_to_quota(hard_setup):
+    model, params, q, coarse, fine, ids = hard_setup
+    s = LOPQSearcherTPU(model)
+    s.add_codes((coarse, fine), ids)
+    results, visited = s.search(q, quota=50, limit=10, with_dists=True)
+    assert len(results) == 10
+    # Distances must match the independent ADC oracle.
+    s_host = LOPQSearcher(model)
+    s_host.add_codes((coarse, fine), ids)
+    r_host, _ = s_host.search(q, quota=50, limit=10, with_dists=True)
+    np.testing.assert_allclose(
+        [r.dist for r in results], [r.dist for r in r_host],
+        rtol=1e-3, atol=1e-4)
+    for r in results[:5]:
+        want = adc_distance(q, r.code.coarse, r.code.fine, *params)
+        np.testing.assert_allclose(r.dist, want, rtol=1e-3, atol=1e-4)
+
+
+def test_search_batch_escalates_only_shortfall(hard_setup):
+    """A wave mixing an easy query (candidates inside the narrow grid)
+    with the hard one: both must meet the quota, and results must match
+    the host oracle per query."""
+    model, params, q, coarse, fine, ids = hard_setup
+    rng = np.random.RandomState(11)
+    Cs = params[0]
+    # Easy query: sits right on the cell of the first indexed row.
+    c0, c1 = coarse[0]
+    q_easy = np.concatenate([Cs[0][c0], Cs[1][c1]]).astype(np.float32)
+
+    s = LOPQSearcherTPU(model)
+    s.add_codes((coarse, fine), ids)
+    s_host = LOPQSearcher(model)
+    s_host.add_codes((coarse, fine), ids)
+
+    waves = s.search_batch(np.stack([q_easy, q]), quota=50, limit=10,
+                           with_dists=True)
+    assert len(waves) == 2
+    for query, (results, _) in zip([q_easy, q], waves):
+        r_host, _ = s_host.search(query, quota=50, limit=10, with_dists=True)
+        assert len(results) == len(r_host)
+        np.testing.assert_allclose(
+            [r.dist for r in results], [r.dist for r in r_host],
+            rtol=1e-3, atol=1e-4)
+
+
+def test_sharded_batch_escalates(hard_setup):
+    """The mesh fan-out honors the quota contract, batched. Each shard
+    probes until ITS candidate count covers the quota, so it walks at
+    least as far down the multisequence order as the reference's global
+    walk — the merged results must therefore (a) meet the quota, (b) be
+    per-id oracle-exact, and (c) dominate the host searcher's results
+    (elementwise nearer-or-equal)."""
+    from columbiaimagesearch_tpu.parallel.sharded import ShardedLOPQIndex
+
+    model, params, q, coarse, fine, ids = hard_setup
+    code_of = {ids[i]: (coarse[i], fine[i]) for i in range(len(ids))}
+    idx = ShardedLOPQIndex(model)
+    idx.build(coarse, fine, ids)
+    waves = idx.search_batch(np.stack([q, q * 0.5]), quota=50, limit=10)
+    assert len(waves) == 2
+    pairs, visited = waves[0]
+    assert len(pairs) == 10
+    for rid, d in pairs[:5]:
+        co, fi = code_of[rid]
+        want = adc_distance(q, tuple(co), tuple(fi), *params)
+        np.testing.assert_allclose(d, want, rtol=1e-3, atol=1e-4)
+    s_host = LOPQSearcher(model)
+    s_host.add_codes((coarse, fine), ids)
+    r_host, _ = s_host.search(q, quota=50, limit=10, with_dists=True)
+    dev_d = np.asarray([d for _, d in pairs])
+    host_d = np.asarray([r.dist for r in r_host])
+    assert np.all(dev_d <= host_d + 1e-3)
+
+
+def test_quota_capped_by_index_size(hard_setup):
+    """quota > nb_indexed must not escalate forever / fail: the effective
+    quota is min(quota, nb_indexed) (the whole index is the best any
+    probe can do — reference get_result_quota simply runs out of cells)."""
+    model, params, q, coarse, fine, ids = hard_setup
+    s = LOPQSearcherTPU(model)
+    s.add_codes((coarse[:20], fine[:20]), ids[:20])
+    results, _ = s.search(q, quota=10000, limit=5, with_dists=True)
+    assert len(results) == 5
+
+
+def test_fused_device_feats_escalate(hard_setup):
+    """search_device_feats (the fused serving path) escalates too."""
+    import jax.numpy as jnp
+
+    model, params, q, coarse, fine, ids = hard_setup
+    s = LOPQSearcherTPU(model)
+    s.add_codes((coarse, fine), ids)
+    # Raw (pre-normalize) feature: scale the query arbitrarily.
+    raw = jnp.asarray(np.stack([q * 3.7]))
+    waves = s.search_device_feats(raw, quota=50, limit=10)
+    results, _ = waves[0]
+    assert len(results) == 10
+    s_host = LOPQSearcher(model)
+    s_host.add_codes((coarse, fine), ids)
+    r_host, _ = s_host.search(q / np.linalg.norm(q), quota=50, limit=10,
+                              with_dists=True)
+    np.testing.assert_allclose(
+        [r.dist for r in results], [r.dist for r in r_host],
+        rtol=1e-3, atol=1e-4)

@@ -60,12 +60,12 @@ def test_pallas_lut_matches_stream(setup):
         assert int(a[2]) == int(b[2]) and int(a[3]) == int(b[3])
 
 
-def test_pack_unpack_rows_dists_ncells_roundtrip():
+def test_pack_unpack_query_out_roundtrip():
     import jax.numpy as jnp
 
     from columbiaimagesearch_tpu.index.tpu_query import (
-        pack_rows_dists_ncells,
-        unpack_rows_dists_ncells,
+        pack_query_out,
+        unpack_query_out,
     )
 
     rng = np.random.RandomState(0)
@@ -74,18 +74,23 @@ def test_pack_unpack_rows_dists_ncells_roundtrip():
     dists = np.concatenate(
         [rng.rand(K - 2).astype(np.float32) * 1e6, [np.inf, 0.0]]
     ).astype(np.float32)
-    packed = np.asarray(pack_rows_dists_ncells(
-        jnp.asarray(rows), jnp.asarray(dists), jnp.asarray(7)))
-    r2, d2, n2 = unpack_rows_dists_ncells(packed, K)
+    packed = np.asarray(pack_query_out(
+        jnp.asarray(rows), jnp.asarray(dists), jnp.asarray(321),
+        jnp.asarray(7), jnp.asarray(True)))
+    r2, d2, t2, n2, ok2 = unpack_query_out(packed, K)
     np.testing.assert_array_equal(r2, rows)
     np.testing.assert_array_equal(d2, dists)  # bit-exact incl. inf
+    assert int(t2) == 321
     assert int(n2) == 7
+    assert int(ok2) == 1
     # batched form (as search_batch produces)
     packed2 = np.stack([packed, packed])
-    r3, d3, n3 = unpack_rows_dists_ncells(packed2, K)
+    r3, d3, t3, n3, ok3 = unpack_query_out(packed2, K)
     assert r3.shape == (2, K) and d3.shape == (2, K)
     np.testing.assert_array_equal(d3[1], dists)
+    np.testing.assert_array_equal(t3, [321, 321])
     np.testing.assert_array_equal(n3, [7, 7])
+    np.testing.assert_array_equal(ok3, [1, 1])
 
 
 def test_query_distances_match_numpy_oracle(setup):
@@ -101,7 +106,7 @@ def test_query_distances_match_numpy_oracle(setup):
     coarse_h = np.asarray(coarse)
     fine_h = np.asarray(fine)
     for impl in ("stream", "pallas"):
-        rows, dists, total, ncells = lopq_query_orig(
+        rows, dists, total, ncells, _ok = lopq_query_orig(
             jnp.asarray(queries[0]), Cs, Rs, mus, subs, codes, cell_start,
             order, jnp.asarray(400, jnp.int32), V=V, B=8, Q=1024, K=16,
             lut_impl=impl)
