@@ -218,7 +218,12 @@ class SentibankFeaturizer:
     feat_type = "sbpycaffe"
 
     def __init__(self, params=None, mean_image=None, seed: int = 0,
-                 compute_dtype="float32"):
+                 compute_dtype="float32", dct_scale: bool = True):
+        #: DCT-scaled JPEG decode in the buffers path (2-4x faster per
+        #: host core; False = bit-exact full-res decode, the reference
+        #: preprocess contract — drift is regression-checked in
+        #: tests/test_extraction.py)
+        self.dct_scale = dct_scale
         if params is None:
             # Pretrained weights auto-load from the conventional path
             # (the role of the reference's model auto-download,
@@ -259,7 +264,8 @@ class SentibankFeaturizer:
         path never round-trips features through the host."""
         from columbiaimagesearch_tpu.models.preprocess import preprocess_buffers
 
-        x, status = preprocess_buffers(buffers, self.mean)
+        x, status = preprocess_buffers(buffers, self.mean,
+                                       dct_scale=self.dct_scale)
         return self._forward_device(x), status
 
     def _forward(self, x):

@@ -14,14 +14,14 @@ def _get():
     if _lib is None:
         lib = load_library("imgpipe")
         if lib is not None:
-            lib.imgpipe_process_batch.restype = ctypes.c_int
-            lib.imgpipe_process_batch.argtypes = [
+            lib.imgpipe_process_batch_v2.restype = ctypes.c_int
+            lib.imgpipe_process_batch_v2.argtypes = [
                 ctypes.POINTER(ctypes.c_char_p),
                 ctypes.POINTER(ctypes.c_int64),
                 ctypes.c_int, ctypes.c_int,
                 ctypes.POINTER(ctypes.c_uint8),
                 ctypes.POINTER(ctypes.c_int32),
-                ctypes.c_int,
+                ctypes.c_int, ctypes.c_int,
             ]
         _lib = lib if lib is not None else False
     return _lib or None
@@ -31,11 +31,19 @@ def imgpipe_available() -> bool:
     return _get() is not None
 
 
-def decode_resize_batch(buffers, target: int = 256, n_threads: int = 0):
+def decode_resize_batch(buffers, target: int = 256, n_threads: int = 0,
+                        dct_scale: bool = True):
     """Decode + lanczos-resize a batch of encoded images.
 
     :param buffers: list of bytes (JPEG/PNG encoded)
     :param target: output side length
+    :param dct_scale: decode JPEGs DCT-scaled to a short side >= target
+        before the Lanczos pass (libjpeg scale_num/scale_denom — the IDCT
+        reconstructs fewer pixels, 2-4x faster per core for 640x480 ->
+        256). False keeps the full-resolution decode, bit-identical to
+        the reference preprocess (sbpycaffe_img_featurizer.py:113-134);
+        feature drift of the scaled path is regression-checked in
+        tests/test_extraction.py.
     :returns: ([n, target, target, 3] uint8 RGB, status int32 [n] — 0 ok)
     """
     n = len(buffers)
@@ -49,12 +57,12 @@ def decode_resize_batch(buffers, target: int = 256, n_threads: int = 0):
         raw = [bytes(b) for b in buffers]
         arr = (ctypes.c_char_p * n)(*raw)
         lens = np.asarray([len(b) for b in raw], dtype=np.int64)
-        lib.imgpipe_process_batch(
+        lib.imgpipe_process_batch_v2(
             arr, lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             n, target,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             status.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            n_threads)
+            n_threads, target if dct_scale else 0)
         return out, status
 
     # PIL fallback (single-threaded)

@@ -42,7 +42,15 @@ void jpeg_err_exit(j_common_ptr cinfo) {
   longjmp(err->jb, 1);
 }
 
-bool decode_jpeg(const uint8_t* buf, size_t len, Image* out) {
+// min_dim > 0 enables DCT-scaled decode: libjpeg reconstructs at the
+// smallest M/8 scale whose short side still covers min_dim, so the IDCT
+// works on fewer coefficients (2-4x faster for typical 640x480 -> 256
+// pipelines) and the Lanczos pass below finishes the resize. min_dim = 0
+// keeps the full-resolution decode (exact-parity mode: bit-identical to
+// the reference's full decode + resize,
+// reference: cufacesearch/featurizer/sbpycaffe_img_featurizer.py:113-134).
+bool decode_jpeg(const uint8_t* buf, size_t len, Image* out,
+                 int min_dim = 0) {
   jpeg_decompress_struct cinfo;
   JpegErr jerr;
   cinfo.err = jpeg_std_error(&jerr.mgr);
@@ -59,6 +67,18 @@ bool decode_jpeg(const uint8_t* buf, size_t len, Image* out) {
     return false;
   }
   cinfo.out_color_space = JCS_RGB;
+  if (min_dim > 0) {
+    const long base = std::min(cinfo.image_width, cinfo.image_height);
+    int num = 8;
+    for (int s = 1; s <= 8; s++) {
+      if (base * s >= long(min_dim) * 8) {
+        num = s;
+        break;
+      }
+    }
+    cinfo.scale_num = num;
+    cinfo.scale_denom = 8;
+  }
   jpeg_start_decompress(&cinfo);
   out->w = cinfo.output_width;
   out->h = cinfo.output_height;
@@ -88,16 +108,17 @@ bool decode_png(const uint8_t* buf, size_t len, Image* out) {
   return true;
 }
 
-bool decode_any(const uint8_t* buf, size_t len, Image* out) {
+bool decode_any(const uint8_t* buf, size_t len, Image* out,
+                int min_dim = 0) {
   if (len > 3 && buf[0] == 0xFF && buf[1] == 0xD8) {
-    return decode_jpeg(buf, len, out);
+    return decode_jpeg(buf, len, out, min_dim);
   }
   if (len > 8 && buf[0] == 0x89 && buf[1] == 'P' && buf[2] == 'N' &&
       buf[3] == 'G') {
     return decode_png(buf, len, out);
   }
   // Try both as a fallback.
-  return decode_jpeg(buf, len, out) || decode_png(buf, len, out);
+  return decode_jpeg(buf, len, out, min_dim) || decode_png(buf, len, out);
 }
 
 // ------------------------------------------------------------------ resize
@@ -208,9 +229,13 @@ extern "C" {
 
 // Decode + resize a batch. out must hold n*target*target*3 bytes.
 // status[i]: 0 ok, -1 decode failed, -2 empty input.
-int imgpipe_process_batch(const uint8_t* const* bufs, const int64_t* lens,
-                          int n, int target, uint8_t* out, int32_t* status,
-                          int n_threads) {
+// dct_min_dim > 0 decodes JPEGs DCT-scaled to a short side >= dct_min_dim
+// before the Lanczos pass (2-4x faster per core); 0 = full-res decode
+// (exact parity with the reference preprocess).
+int imgpipe_process_batch_v2(const uint8_t* const* bufs, const int64_t* lens,
+                             int n, int target, uint8_t* out,
+                             int32_t* status, int n_threads,
+                             int dct_min_dim) {
   if (n <= 0) return 0;
   if (n_threads <= 0) n_threads = std::thread::hardware_concurrency();
   n_threads = std::max(1, std::min(n_threads, n));
@@ -224,7 +249,7 @@ int imgpipe_process_batch(const uint8_t* const* bufs, const int64_t* lens,
         continue;
       }
       Image img;
-      if (!decode_any(bufs[i], size_t(lens[i]), &img)) {
+      if (!decode_any(bufs[i], size_t(lens[i]), &img, dct_min_dim)) {
         status[i] = -1;
         continue;
       }
@@ -240,7 +265,14 @@ int imgpipe_process_batch(const uint8_t* const* bufs, const int64_t* lens,
   return ok;
 }
 
+int imgpipe_process_batch(const uint8_t* const* bufs, const int64_t* lens,
+                          int n, int target, uint8_t* out, int32_t* status,
+                          int n_threads) {
+  return imgpipe_process_batch_v2(bufs, lens, n, target, out, status,
+                                  n_threads, /*dct_min_dim=*/0);
+}
+
 // Version/self-test hook.
-int imgpipe_version() { return 1; }
+int imgpipe_version() { return 2; }
 
 }  // extern "C"

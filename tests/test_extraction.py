@@ -186,3 +186,36 @@ def test_bbox_str():
     s = get_bbox_str({"left": 1, "top": 2, "right": 3, "bottom": 4,
                       "score": 0.5})
     assert s == "1_2_3_4_0.5"
+
+
+def test_dct_scaled_decode_feature_drift():
+    """DCT-scaled JPEG decode (the default buffers path) must not drift
+    the fc7 features materially vs the full-resolution decode — the
+    reference's own stored-vs-recomputed tolerance method
+    (reference: tests/test_compare_sbcmdlinetf.py:1-40 compares feature
+    norms of independently computed extractions)."""
+    import os
+
+    from PIL import Image
+
+    from columbiaimagesearch_tpu.models.sentibank import SentibankFeaturizer
+
+    data = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
+    img = np.asarray(Image.open(os.path.join(data, "grace_hopper.jpg"))
+                     .convert("RGB"))
+    # 640x480-class JPEG (the production ingest shape)
+    big = np.asarray(Image.fromarray(img).resize((640, 480), Image.LANCZOS))
+    b = io.BytesIO()
+    Image.fromarray(big).save(b, format="JPEG", quality=85)
+    jpeg = b.getvalue()
+
+    f_fast = SentibankFeaturizer(dct_scale=True)
+    f_exact = SentibankFeaturizer(dct_scale=False)
+    a, st_a = f_fast.featurize_buffers([jpeg])
+    bb, st_b = f_exact.featurize_buffers([jpeg])
+    assert st_a[0] == 0 and st_b[0] == 0
+    na, nb = np.linalg.norm(a[0]), np.linalg.norm(bb[0])
+    cos = float(np.dot(a[0], bb[0]) / (na * nb))
+    assert cos > 0.999, cos
+    # norm drift within 1% (the reference compares norm deltas)
+    assert abs(na - nb) / nb < 0.01, (na, nb)
