@@ -149,3 +149,100 @@ def test_aligned_embedding_path_on_real_photo(hopper):
                                 "bottom": 320, "score": 1.0})
     n = lambda v: v / (np.linalg.norm(v) + 1e-30)  # noqa: E731
     assert np.linalg.norm(n(e1) - n(e2)) < np.linalg.norm(n(e1) - n(bg))
+
+
+# ---------------------------------------------------------------------------
+# Held-out generalization (round 3). True cross-identity validation needs
+# face photos this zero-egress environment does not have (the repo bundles
+# exactly one portrait; the reference leaned on dlib's pretrained detector,
+# detector/dlib_detector.py:10-35). What CAN be validated offline is that
+# the shipped template is not a pixel memorizer: it must localize the face
+# under transforms OUTSIDE the training-jitter family (train-time
+# augmentation is +-12 px shifts / +-15 px scale growth ONLY —
+# scripts/train_face_template.py crops_for), and must stay silent on
+# face-free images.
+# ---------------------------------------------------------------------------
+
+
+def _best_iou(det, img, bb, up=0):
+    ds = det.detect_from_img(img, up_sample=up)
+    if not ds:
+        return 0.0
+    return max(_iou((d["left"], d["top"], d["right"], d["bottom"]), bb)
+               for d in ds)
+
+
+@pytest.fixture(scope="module")
+def shipped_detector():
+    from columbiaimagesearch_tpu.models.face_detector import (
+        ConvHOGFaceDetector,
+    )
+
+    det = ConvHOGFaceDetector()
+    assert det._load_default() is not None
+    return det
+
+
+def test_detector_heldout_scale(hopper, shipped_detector):
+    """0.6x and 1.4x image scales — far outside the +-15 px training
+    growth; the multi-scale pyramid must still localize."""
+    pil = Image.fromarray(hopper)
+    W, H = pil.size
+    for s in (0.6, 1.4):
+        img2 = np.asarray(pil.resize((int(W * s), int(H * s)),
+                                     Image.BILINEAR))
+        bb2 = tuple(int(v * s) for v in HOPPER_BBOX)
+        got = _best_iou(shipped_detector, img2, bb2, up=1 if s < 1 else 0)
+        assert got >= 0.5, f"scale {s}: IoU {got:.2f}"
+
+
+def test_detector_heldout_rotation_flip_gamma(hopper, shipped_detector):
+    """In-plane rotations, mirror, and strong gamma shifts — none of these
+    appear in the training crops."""
+    pil = Image.fromarray(hopper)
+    W, _H = pil.size
+    for ang in (-8, 8):
+        img2 = np.asarray(pil.rotate(ang, resample=Image.BILINEAR))
+        got = _best_iou(shipped_detector, img2, HOPPER_BBOX)
+        assert got >= 0.5, f"rot {ang}: IoU {got:.2f}"
+    l, t, r, b = HOPPER_BBOX
+    got = _best_iou(shipped_detector, hopper[:, ::-1],
+                    (W - r, t, W - l, b))
+    assert got >= 0.5, f"flip: IoU {got:.2f}"
+    for g in (0.6, 1.5):
+        img2 = (255.0 * (hopper / 255.0) ** g).astype(np.uint8)
+        got = _best_iou(shipped_detector, img2, HOPPER_BBOX)
+        assert got >= 0.5, f"gamma {g}: IoU {got:.2f}"
+
+
+def test_detector_heldout_composite_scene(hopper, shipped_detector):
+    """The portrait pasted into a large cluttered scene at an unseen
+    position: the detector must find the face there, not just in the
+    original frame."""
+    rng = np.random.RandomState(0)
+    H, W = hopper.shape[:2]
+    scene = rng.randint(0, 255, (900, 1200, 3), dtype=np.uint8)
+    ox, oy = 500, 300
+    scene[oy:oy + H, ox:ox + W] = hopper
+    l, t, r, b = HOPPER_BBOX
+    got = _best_iou(shipped_detector, scene,
+                    (l + ox, t + oy, r + ox, b + oy))
+    assert got >= 0.5, f"composite: IoU {got:.2f}"
+
+
+def test_detector_negatives_no_face(shipped_detector):
+    """Face-free images must produce ZERO detections at the shipped
+    threshold: uniform noise, gradients, checkerboard (high-frequency
+    structure that fools naive edge templates)."""
+    rng = np.random.RandomState(0)
+    yy, xx = np.mgrid[0:480, 0:640]
+    negatives = {
+        "noise": rng.randint(0, 255, (480, 640, 3), dtype=np.uint8),
+        "gradient": np.stack([((xx + yy) % 256)] * 3, -1).astype(np.uint8),
+        "checker": np.stack(
+            [(((yy // 16 + xx // 16) % 2) * 255).astype(np.uint8)] * 3, -1),
+        "flat": np.full((300, 400, 3), 128, np.uint8),
+    }
+    for name, img in negatives.items():
+        ds = shipped_detector.detect_from_img(img, up_sample=0)
+        assert not ds, f"negative '{name}' produced {len(ds)} detections"
