@@ -43,9 +43,10 @@ def build_csr_device(coarse, fine, V: int):
     return codes, cell_start, order
 
 
-@functools.partial(jax.jit, static_argnames=("V",), donate_argnums=(0, 1))
+@functools.partial(jax.jit, static_argnames=("V", "wide"),
+                   donate_argnums=(0, 1))
 def append_and_build_csr(dev_cells, dev_fine, new_cells, new_fine, offset,
-                         V: int):
+                         V: int, wide: bool = False):
     """Append a chunk into capacity buffers and rebuild the CSR — on device.
 
     The incremental-refresh path: the host uploads ONLY the new rows (the
@@ -68,6 +69,10 @@ def append_and_build_csr(dev_cells, dev_fine, new_cells, new_fine, offset,
     order = jnp.argsort(dev_cells, stable=True).astype(jnp.int32)
     codes = dev_fine[order]
     cells_sorted = dev_cells[order]
+    if wide:
+        # Wide-V mode: no dense offsets table (1 GB at V=16384) — the
+        # query kernel searchsorts cells_sorted instead (tpu_query step 3).
+        return dev_cells, dev_fine, cells_sorted, codes, None, order
     real = (dev_cells < _sentinel(V)).astype(jnp.int32)
     counts = jnp.zeros(V * V, jnp.int32).at[
         jnp.minimum(dev_cells, _sentinel(V) - 1)].add(real)
@@ -76,10 +81,11 @@ def append_and_build_csr(dev_cells, dev_fine, new_cells, new_fine, offset,
     return dev_cells, dev_fine, cells_sorted, codes, cell_start, order
 
 
-@functools.partial(jax.jit, static_argnames=("V",), donate_argnums=(0, 1))
+@functools.partial(jax.jit, static_argnames=("V", "wide"),
+                   donate_argnums=(0, 1))
 def merge_append_csr(dev_cells, dev_fine, cells_sorted, codes_sorted,
                      order_sorted, cell_start_prev, new_cells, new_fine,
-                     offset, V: int):
+                     offset, V: int, wide: bool = False):
     """Incremental CSR refresh by LINEAR MERGE instead of a full re-sort.
 
     A refresh appends a small sorted chunk into an already-sorted view, so
@@ -138,6 +144,8 @@ def merge_append_csr(dev_cells, dev_fine, cells_sorted, codes_sorted,
     pool = jnp.concatenate([codes_sorted, ncodes])
     codes2 = pool[src]
 
+    if wide:
+        return dev_cells, dev_fine, cells2, codes2, None, order2
     # Counts update incrementally: previous counts + the chunk's real rows
     # (sentinel-padded tail rows excluded).
     counts = cell_start_prev[1:] - cell_start_prev[:-1]

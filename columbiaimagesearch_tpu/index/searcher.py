@@ -280,15 +280,17 @@ class LOPQSearcherTPU(LOPQSearcherBase):
         with self._mutlock:
             self._pack_locked()
 
+    #: At/above this coarse-codebook size the dense [V^2+1] offsets table
+    #: (268 MB at V=8192, 1 GB at V=16384) is replaced by searchsorted
+    #: lookups over the sorted cell-id array (tpu_query wide-V mode) —
+    #: O(cap) memory, ~log2(N) extra gather passes per query. Below it the
+    #: dense table stays (measured fastest at the production V=4096).
+    WIDE_V_THRESHOLD = 8192
+
     def _pack_locked(self):
         if not self._dirty:
             return
         V = self.model.V
-        if V > 16384:
-            raise ValueError(
-                f"V={V}: the dense [V^2+1] CSR offsets table would exceed "
-                "device memory; use the sharded index or a smaller coarse "
-                "codebook")
         if self._pending:
             cells_new = np.concatenate([p[0] for p in self._pending])
             fine_new = np.concatenate([p[1] for p in self._pending])
@@ -389,6 +391,7 @@ class LOPQSearcherTPU(LOPQSearcherBase):
             use_merge = (self._dev.get("cells_sorted") is not None
                          and self._cap > self.MERGE_REFRESH_MIN_CAP)
             feat_rebuild = False
+        wide = V >= self.WIDE_V_THRESHOLD
         if use_merge:
             # Steady-state refresh: linear merge of the sorted chunk into
             # the previous sorted view (no full re-sort; see
@@ -399,12 +402,12 @@ class LOPQSearcherTPU(LOPQSearcherBase):
                 self._buf_cells, self._buf_fine, self._dev["cells_sorted"],
                 self._dev["codes"], self._dev["order"],
                 self._dev["cell_start"], jnp.asarray(chunk_c),
-                jnp.asarray(chunk_f), jnp.int32(offset), V)
+                jnp.asarray(chunk_f), jnp.int32(offset), V, wide=wide)
         else:
             (self._buf_cells, self._buf_fine, cells_sorted, codes,
              cell_start, order) = append_and_build_csr(
                 self._buf_cells, self._buf_fine, jnp.asarray(chunk_c),
-                jnp.asarray(chunk_f), jnp.int32(offset), V)
+                jnp.asarray(chunk_f), jnp.int32(offset), V, wide=wide)
         # Rerank feature store: insertion-order rows, so it never takes
         # part in the CSR sort — a rebuild uploads the whole padded matrix,
         # an incremental refresh slices in only the new rows.
@@ -531,22 +534,25 @@ class LOPQSearcherTPU(LOPQSearcherBase):
 
         def run_tier(idx, B):
             def qfn(q, Cs, Rs, mus, subs, codes, cell_start, order, feats,
-                    qq):
+                    cells_sorted, qq):
                 if R:
                     rows, dists, total, ncells, ok = lopq_query_rerank(
                         q, feats, Cs, Rs, mus, subs, codes, cell_start,
-                        order, qq, V=V, B=B, Q=Q, K=K_pad, R=R)
+                        order, qq, cells_sorted, V=V, B=B, Q=Q, K=K_pad,
+                        R=R)
                 else:
                     rows, dists, total, ncells, ok = lopq_query_orig(
                         q, Cs, Rs, mus, subs, codes, cell_start,
-                        order, qq, V=V, B=B, Q=Q, K=K_pad)
+                        order, qq, cells_sorted, V=V, B=B, Q=Q, K=K_pad)
                 return pack_query_out(rows, dists, total, ncells, ok)
 
-            batched = jax.vmap(qfn, in_axes=(0,) + (None,) * 9)
+            batched = jax.vmap(qfn, in_axes=(0,) + (None,) * 10)
             Xw, k = pad_rows(X[idx], wave_bucket(len(idx)))
             packed = np.asarray(batched(
                 jnp.asarray(Xw), d["Cs"], d["Rs"], d["mus"], d["subs"],
-                d["codes"], d["cell_start"], d["order"], d.get("feats"),
+                d["codes"], d.get("cell_start"), d["order"],
+                d.get("feats"),
+                d["cells_sorted"] if d.get("cell_start") is None else None,
                 jnp.asarray(quota, dtype=jnp.int32)))    # one D2H sync
             return unpack_query_out(packed[:k], R or K_pad)
 
@@ -637,8 +643,9 @@ class LOPQSearcherTPU(LOPQSearcherBase):
             packed = np.asarray(fused_feat_query(
                 Xw, d.get("pca_P"), d.get("pca_mu"),
                 d["Cs"], d["Rs"], d["mus"], d["subs"],
-                d["codes"], d["cell_start"], d["order"],
+                d["codes"], d.get("cell_start"), d["order"],
                 jnp.asarray(quota, dtype=jnp.int32), d.get("feats"),
+                d["cells_sorted"] if d.get("cell_start") is None else None,
                 V=V, B=B, Q=Q, K=K_pad, R=R, renorm=renorm,
                 lut_impl="stream"))  # one D2H sync; stream is vmap-safe
             return unpack_query_out(packed[:k], R or K_pad)
@@ -690,16 +697,17 @@ class LOPQSearcherTPU(LOPQSearcherBase):
 
         ladder = self._probe_ladder()
         quota_eff = min(int(quota), nb)
+        cs = d["cells_sorted"] if d.get("cell_start") is None else None
         for ti, B in enumerate(ladder):
             if R:
                 out_d = lopq_query_rerank(
                     xd, d["feats"], d["Cs"], d["Rs"], d["mus"], d["subs"],
-                    d["codes"], d["cell_start"], d["order"], quota,
+                    d["codes"], d.get("cell_start"), d["order"], quota, cs,
                     V=V, B=B, Q=Q, K=K_pad, R=R, lut_impl="auto")
             else:
                 out_d = lopq_query_orig(
                     xd, d["Cs"], d["Rs"], d["mus"], d["subs"],
-                    d["codes"], d["cell_start"], d["order"], quota,
+                    d["codes"], d.get("cell_start"), d["order"], quota, cs,
                     V=V, B=B, Q=Q, K=K_pad, lut_impl="auto")
             packed = np.asarray(
                 pack_query_out(*out_d))             # one D2H sync per tier

@@ -141,8 +141,10 @@ def lopq_query(
     mus,          # [2, V, Dh] residual means
     subs,         # [2, F, S, Dsub] subquantizer codebooks
     codes,        # [N, M] uint8 PQ codes, rows sorted by cell id
-    cell_start,   # [V^2 + 1] int32 CSR offsets
+    cell_start,   # [V^2 + 1] int32 CSR offsets, or None (wide-V mode)
     quota,        # traced int: stop probing cells once covered
+    cells_sorted=None,  # [N] int32 sorted cell ids — required when
+    #                     cell_start is None (wide-V searchsorted mode)
     *,
     V: int,
     B: int,       # probed clusters per split (B*B candidate cells)
@@ -197,12 +199,26 @@ def lopq_query(
     cell_ids = i0[a_idx] * V + i1[b_idx]             # [B*B] global cell ids
 
     # --- 3. ragged buckets -> fixed Q candidate slots ----------------------
-    # One 2-wide sliced gather for (start, end) per probed cell instead of
-    # two scalar gathers from the [V^2+1] offsets table.
-    bounds = cell_start[cell_ids[:, None]
-                        + jnp.arange(2, dtype=jnp.int32)[None, :]]  # [B*B, 2]
-    starts = bounds[:, 0]
-    counts = bounds[:, 1] - starts                   # [B*B]
+    if cell_start is None:
+        # Wide-V fallback: no dense offsets table (a [V^2+1] int32 table
+        # costs 1 GB at V=16384). The CSR rows are cell-sorted, so a
+        # probed cell's bucket is the searchsorted range over the sorted
+        # cell-id array — ~log2(N) gather passes over B*B keys, once per
+        # query, instead of O(V^2) resident memory. Sentinel (V*V) padding
+        # rows sort after every real cell and are never matched.
+        starts = jnp.searchsorted(cells_sorted, cell_ids,
+                                  side="left").astype(jnp.int32)
+        ends = jnp.searchsorted(cells_sorted, cell_ids,
+                                side="right").astype(jnp.int32)
+        counts = ends - starts                       # [B*B]
+    else:
+        # One 2-wide sliced gather for (start, end) per probed cell
+        # instead of two scalar gathers from the [V^2+1] offsets table.
+        bounds = cell_start[
+            cell_ids[:, None]
+            + jnp.arange(2, dtype=jnp.int32)[None, :]]          # [B*B, 2]
+        starts = bounds[:, 0]
+        counts = bounds[:, 1] - starts               # [B*B]
     csum = jnp.cumsum(counts)
     # Visit cells in order until the quota is covered; the crossing cell is
     # included whole (reference get_result_quota semantics).
@@ -304,8 +320,8 @@ def lopq_query(
 @functools.partial(
     jax.jit, static_argnames=("V", "B", "Q", "K", "R", "lut_impl"))
 def lopq_query_rerank(x, feats, Cs, Rs, mus, subs, codes, cell_start, order,
-                      quota, *, V: int, B: int, Q: int, K: int, R: int,
-                      lut_impl: str = "stream"):
+                      quota, cells_sorted=None, *, V: int, B: int, Q: int,
+                      K: int, R: int, lut_impl: str = "stream"):
     """Probed ADC query + device-resident exact rerank in ONE program.
 
     The reference's production config serves with ``reranking: true``
@@ -330,8 +346,8 @@ def lopq_query_rerank(x, feats, Cs, Rs, mus, subs, codes, cell_start, order,
         total, n_cells, grid_ok)
     """
     rows, dists, total, n_cells, grid_ok = lopq_query(
-        x, Cs, Rs, mus, subs, codes, cell_start, quota, V=V, B=B, Q=Q, K=K,
-        lut_impl=lut_impl)
+        x, Cs, Rs, mus, subs, codes, cell_start, quota, cells_sorted,
+        V=V, B=B, Q=Q, K=K, lut_impl=lut_impl)
     rows = jnp.where(rows >= 0, order[jnp.maximum(rows, 0)], -1)
     rR = rows[:R]
     cand = feats[jnp.maximum(rR, 0)].astype(jnp.float32)   # [R, Dr]
@@ -438,9 +454,9 @@ def unpack_query_out(packed, K_pad):
     jax.jit,
     static_argnames=("V", "B", "Q", "K", "R", "renorm", "lut_impl"))
 def fused_feat_query(X, pca_P, pca_mu, Cs, Rs, mus, subs, codes, cell_start,
-                     order, quota, feats=None, *, V: int, B: int, Q: int,
-                     K: int, R: int = 0, renorm: bool = False,
-                     lut_impl: str = "stream"):
+                     order, quota, feats=None, cells_sorted=None, *, V: int,
+                     B: int, Q: int, K: int, R: int = 0,
+                     renorm: bool = False, lut_impl: str = "stream"):
     """Raw extracted features -> packed search results in ONE program:
     L2-normalize, optional PCA projection (+renorm), vmapped probed query,
     optional exact rerank over the HBM-resident feature matrix, packed
@@ -472,11 +488,12 @@ def fused_feat_query(X, pca_P, pca_mu, Cs, Rs, mus, subs, codes, cell_start,
         if R > 0:
             rows, dists, total, ncells, ok = lopq_query_rerank(
                 q, feats, Cs, Rs, mus, subs, codes, cell_start, order,
-                quota, V=V, B=B, Q=Q, K=K, R=R, lut_impl=lut_impl)
+                quota, cells_sorted, V=V, B=B, Q=Q, K=K, R=R,
+                lut_impl=lut_impl)
         else:
             rows, dists, total, ncells, ok = lopq_query_orig(
                 q, Cs, Rs, mus, subs, codes, cell_start, order, quota,
-                V=V, B=B, Q=Q, K=K, lut_impl=lut_impl)
+                cells_sorted, V=V, B=B, Q=Q, K=K, lut_impl=lut_impl)
         return pack_query_out(rows, dists, total, ncells, ok)
 
     return jax.vmap(qfn)(Xn)
@@ -485,14 +502,14 @@ def fused_feat_query(X, pca_P, pca_mu, Cs, Rs, mus, subs, codes, cell_start,
 @functools.partial(jax.jit,
                    static_argnames=("V", "B", "Q", "K", "lut_impl"))
 def lopq_query_orig(x, Cs, Rs, mus, subs, codes, cell_start, order, quota,
-                    *, V: int, B: int, Q: int, K: int,
+                    cells_sorted=None, *, V: int, B: int, Q: int, K: int,
                     lut_impl: str = "stream"):
     """``lopq_query`` + mapping of sorted-row hits back to insertion-order
     row indices via the ``order`` permutation (see csr.append_and_build_csr).
     One jit: the gather fuses with the query instead of costing an extra
     dispatch per call."""
     rows, dists, total, n_cells, grid_ok = lopq_query(
-        x, Cs, Rs, mus, subs, codes, cell_start, quota, V=V, B=B, Q=Q, K=K,
-        lut_impl=lut_impl)
+        x, Cs, Rs, mus, subs, codes, cell_start, quota, cells_sorted,
+        V=V, B=B, Q=Q, K=K, lut_impl=lut_impl)
     rows = jnp.where(rows >= 0, order[jnp.maximum(rows, 0)], -1)
     return rows, dists, total, n_cells, grid_ok
