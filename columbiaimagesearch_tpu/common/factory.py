@@ -84,6 +84,10 @@ def build_searcher(conf, prefix="SEARCHLOPQ_", indexer=None, storer=None):
         sharded=bool(r.get_param("sharded", False)),
         exact=bool(r.get_param("exact", False)),
         codestore_path=r.get_param("codestore_path"),
+        # Device-resident rerank store (index-space features in HBM) —
+        # makes `reranking: true` (the reference release config) run fused
+        # on device instead of detouring through the indexer.
+        store_rerank_feats=bool(r.get_param("store_rerank_feats", False)),
         indexer=indexer, storer=storer,
         verbose=int(r.get_param("verbose", 0)))
 
@@ -216,6 +220,7 @@ def generate_conf_searcher(env=None):
         "nb_train": "SEARCHLOPQ_nb_train",
         "nb_train_pca": "SEARCHLOPQ_nb_train_pca",
         "reranking": "SEARCHLOPQ_reranking",
+        "store_rerank_feats": "SEARCHLOPQ_store_rerank_feats",
         "extr_type": "SEARCHLOPQ_featurizer_type",
         "input_type": "SEARCHLOPQ_input_type",
         "storer_type": "ST_storer_type",

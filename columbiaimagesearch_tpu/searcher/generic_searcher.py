@@ -137,13 +137,18 @@ class GenericSearcher:
                 # so query features match stored features bit-for-bit.
                 # Fused serving path: when the featurizer can leave its
                 # output on device and the backend accepts raw device
-                # features, the feature never visits the host (reranking
-                # needs host features -> falls back).
+                # features, the feature never visits the host. Reranking
+                # stays on the fused route when the backend holds a
+                # device feature store (fused exact rerank); without one
+                # it needs host features -> falls back.
+                backend = getattr(self, "searcher", None)
+                rerank_req = bool(options_dict.get("reranking",
+                                                   self.reranking))
                 use_device = (
                     hasattr(self.featurizer, "featurize_buffers_device")
-                    and hasattr(getattr(self, "searcher", None),
-                                "search_device_feats")
-                    and not options_dict.get("reranking", self.reranking))
+                    and hasattr(backend, "search_device_feats")
+                    and (not rerank_req
+                         or getattr(backend, "has_rerank_feats", False)))
                 if use_device:
                     buf.seek(0)
                     fts, status = self.featurizer.featurize_buffers_device(

@@ -39,9 +39,27 @@ def main():
                          "near-duplicate retrieval scenario the system "
                          "serves); 0 disables and samples fresh points")
     ap.add_argument("--skip-exact", action="store_true")
+    ap.add_argument("--skip-rerank", action="store_true")
+    ap.add_argument("--stream-synth", action="store_true",
+                    help="regenerate data chunks from seeds instead of "
+                         "holding X in RAM (needed at 100M: 100M x 256 "
+                         "f32 is 102 GB); implies --skip-exact/--skip-"
+                         "rerank (both need random row access)")
+    ap.add_argument("--probe-widths", default=None,
+                    help="comma list to sweep, 0 = adaptive ladder "
+                         "(e.g. '64,256,0'); default: one run at "
+                         "--probe-width")
+    ap.add_argument("--out", default=None,
+                    help="write a benchmarks/ JSON artifact here")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the config.update is the "
+                         "only override that beats sitecustomize)")
     args = ap.parse_args()
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
 
@@ -60,17 +78,44 @@ def main():
         return (comp[r.randint(0, n_comp, n)]
                 + 0.25 * r.randn(n, args.dim)).astype(np.float32)
 
+    # Chunked deterministic data access: chunk c of CH rows regenerates
+    # from seed 1000+c, so streaming mode never materializes X.
+    CH = 1 << 21
+
+    def synth_chunk(c):
+        r = np.random.RandomState(1000 + c)
+        k = min(CH, args.n - c * CH)
+        return (comp[r.randint(0, n_comp, k)]
+                + 0.25 * r.randn(k, args.dim)).astype(np.float32)
+
     train = synth(args.train_n, 1)
     print(f"[{time.time()-t0:.0f}s] training V={args.V} M={args.M}",
           file=sys.stderr, flush=True)
     model = LOPQModel(V=args.V, M=args.M, subquantizer_clusters=256)
     model.fit(train, n_init=1, random_state=0)
 
-    X = synth(args.n, 2)
+    # Non-streaming keeps the single-seed dataset of earlier rounds
+    # (artifact comparability); streaming regenerates per-chunk seeds.
+    X = None if args.stream_synth else synth(args.n, 2)
+
+    def rows_of(src):
+        """Arbitrary rows by index, chunk-cached (streaming mode)."""
+        if X is not None:
+            return X[src]
+        out = np.empty((len(src), args.dim), np.float32)
+        order = np.argsort(src)
+        cached_c, cached = -1, None
+        for j in order:
+            c = int(src[j]) // CH
+            if c != cached_c:
+                cached_c, cached = c, synth_chunk(c)
+            out[j] = cached[int(src[j]) % CH]
+        return out
+
     if args.query_noise > 0:
         r = np.random.RandomState(3)
         src = r.randint(0, args.n, args.queries)
-        queries = (X[src] + args.query_noise
+        queries = (rows_of(src) + args.query_noise
                    * r.randn(args.queries, args.dim)).astype(np.float32)
     else:
         queries = synth(args.queries, 3)
@@ -94,13 +139,17 @@ def main():
     # wrap past 2^31 rows (jax x64 is off, so jnp.int64 silently degrades).
     best_d = np.full(len(queries), np.inf, np.float32)
     best_i = np.zeros(len(queries), np.int64)
-    gt_chunk = 1 << 21
-    for s0 in range(0, args.n, gt_chunk):
-        dmin, i = chunk_nn(qd, jnp.asarray(X[s0:s0 + gt_chunk]))
+    for c in range((args.n + CH - 1) // CH):
+        s0 = c * CH
+        xc = X[s0:s0 + CH] if X is not None else synth_chunk(c)
+        dmin, i = chunk_nn(qd, jnp.asarray(xc))
         dmin, i = np.asarray(dmin), np.asarray(i)
         upd = dmin < best_d
         best_d = np.where(upd, dmin, best_d)
         best_i = np.where(upd, s0 + i.astype(np.int64), best_i)
+        if c % 8 == 7:
+            print(f"[{time.time()-t0:.0f}s] gt {s0 + len(xc)}/{args.n}",
+                  file=sys.stderr, flush=True)
     nns = best_i
 
     Cs = jnp.stack([jnp.asarray(C) for C in model.Cs])
@@ -113,10 +162,9 @@ def main():
     from columbiaimagesearch_tpu.utils.chunking import round_up
 
     # Encode in host-streamed slabs (same HBM reasoning as ground truth).
-    enc_chunk = 1 << 21
     co_parts, fi_parts = [], []
-    for s0 in range(0, args.n, enc_chunk):
-        xc = X[s0:s0 + enc_chunk]
+    for c in range((args.n + CH - 1) // CH):
+        xc = X[c * CH:(c + 1) * CH] if X is not None else synth_chunk(c)
         n_real = len(xc)
         pad = round_up(n_real, 4096) - n_real
         if pad:
@@ -124,44 +172,66 @@ def main():
         co, fi = lopq_encode(Cs, Rs, mus, subs, jnp.asarray(xc), chunk=4096)
         co_parts.append(np.asarray(co)[:n_real])
         fi_parts.append(np.asarray(fi)[:n_real])
+        if c % 8 == 7:
+            print(f"[{time.time()-t0:.0f}s] encoded "
+                  f"{min((c + 1) * CH, args.n)}/{args.n}",
+                  file=sys.stderr, flush=True)
     coarse = np.concatenate(co_parts)[:args.n]
     fine = np.concatenate(fi_parts)[:args.n].astype(np.uint8)
 
-    def recall(search_fn, label):
+    runs = []
+
+    def recall(search_fn, label, extra=None):
         hits = {1: 0, 10: 0, 100: 0}
+        t_q = time.perf_counter()
         for qi, q in enumerate(queries):
             ids = search_fn(q)
             for k in hits:
                 if nns[qi] in ids[:k]:
                     hits[k] += 1
+        dt = (time.perf_counter() - t_q) / len(queries)
         out = {f"recall@{k}": hits[k] / len(queries) for k in hits}
-        print(json.dumps({"method": label, **out}))
+        row = {"method": label, **out,
+               "ms_per_query_e2e_host": round(dt * 1e3, 2), **(extra or {})}
+        runs.append(row)
+        print(json.dumps(row))
         return out
 
-    # Probed searcher at production quota.
-    s = LOPQSearcherTPU(model, probe_width=args.probe_width)
+    # Probed searcher at production quota, over the probe-width sweep
+    # (0 = adaptive escalation ladder, the serving default).
+    widths = ([int(w) for w in args.probe_widths.split(",")]
+              if args.probe_widths else [args.probe_width or 0])
+    s = LOPQSearcherTPU(model)
     s.add_codes((coarse, fine), ids=list(range(args.n)))
-    print(f"[{time.time()-t0:.0f}s] probed search", file=sys.stderr,
-          flush=True)
-    recall(lambda q: [r.id for r in
-                      s.search(q, quota=args.quota, limit=100)[0]],
-           f"probed_quota{args.quota}")
+    for w in widths:
+        s.probe_width = w or None
+        label_w = "adaptive" if not w else str(w)
+        print(f"[{time.time()-t0:.0f}s] probed search B={label_w}",
+              file=sys.stderr, flush=True)
+        recall(lambda q: [r.id for r in
+                          s.search(q, quota=args.quota, limit=100)[0]],
+               f"probed_quota{args.quota}", {"probe_width": label_w})
 
     # Probed + exact-feature rerank (the production configuration:
     # reference searcher_lopqhbase reranking path).
-    def probed_rerank(q):
-        res, _ = s.search(q, quota=args.quota, limit=1000, with_dists=True)
-        cand = np.asarray([r.id for r in res])
-        if not len(cand):
-            return []
-        exact = np.linalg.norm(X[cand] - q[None, :], axis=1)
-        return cand[np.argsort(exact)][:100].tolist()
+    if not args.skip_rerank and not args.stream_synth:
+        s.probe_width = None
 
-    print(f"[{time.time()-t0:.0f}s] probed + rerank", file=sys.stderr,
-          flush=True)
-    recall(probed_rerank, f"probed_quota{args.quota}_rerank1000")
+        def probed_rerank(q):
+            res, _ = s.search(q, quota=args.quota, limit=1000,
+                              with_dists=True)
+            cand = np.asarray([r.id for r in res])
+            if not len(cand):
+                return []
+            exact = np.linalg.norm(X[cand] - q[None, :], axis=1)
+            return cand[np.argsort(exact)][:100].tolist()
 
-    if not args.skip_exact:
+        print(f"[{time.time()-t0:.0f}s] probed + rerank", file=sys.stderr,
+              flush=True)
+        recall(probed_rerank, f"probed_quota{args.quota}_rerank1000",
+               {"probe_width": "adaptive"})
+
+    if not args.skip_exact and not args.stream_synth:
         from columbiaimagesearch_tpu.index.pallas_adc import ExhaustiveADC
 
         print(f"[{time.time()-t0:.0f}s] exhaustive exact search",
@@ -169,6 +239,18 @@ def main():
         ex = ExhaustiveADC(model)
         ex.build(coarse, fine, ids=list(range(args.n)))
         recall(lambda q: ex.search(q, k=100)[0], "exhaustive_exact")
+
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump({
+                "config": {"n": args.n, "dim": args.dim, "V": args.V,
+                           "M": args.M, "query_noise": args.query_noise,
+                           "queries": args.queries, "quota": args.quota,
+                           "stream_synth": bool(args.stream_synth)},
+                "runs": runs,
+            }, f, indent=1)
+        print(f"[{time.time()-t0:.0f}s] wrote {args.out}", file=sys.stderr,
+              flush=True)
 
     print(f"[{time.time()-t0:.0f}s] done", file=sys.stderr, flush=True)
 

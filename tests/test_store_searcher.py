@@ -179,3 +179,37 @@ def test_incremental_load_codes(searcher_env):
     added = searcher.load_codes()
     assert added == 5
     assert searcher.get_nb_indexed() == before + 5
+
+
+def test_store_rerank_feats_e2e():
+    """SearcherLOPQ(store_rerank_feats=True): load_codes harvests features
+    from the indexer into the device rerank store, and reranking=True
+    serves through the fused device path with exact distances (the
+    reference release config semantics, conf_search_sbpycaffe_release
+    .json:16, without the HBase refetch)."""
+    rng = np.random.RandomState(5)
+    kv, feats, sha1s = make_indexer(rng, n_imgs=400)
+    searcher = SearcherLOPQ(
+        model_type="lopq", V=8, M=4, subquantizer_clusters=32,
+        nb_train=400, nb_min_train=100, train_at_init=True,
+        detector_type="full", featurizer_type="sentibank",
+        input_type="image", skip_get_sim_info=True,
+        indexer=kv, storer=MemoryStorer(), reranking=True, rerank_nb=50,
+        store_rerank_feats=True)
+    assert searcher.get_nb_indexed() == len(sha1s)
+    assert searcher.searcher.has_rerank_feats
+
+    # Query with an indexed feature: device rerank must put it first at
+    # ~zero exact distance.
+    qi = 123
+    out = searcher.search_from_feats(
+        [(sha1s[qi], None)], [feats[qi]], {"max_returned": 5})
+    sims = out["AllSimilarImages"][0]["SimilarImages"]
+    assert sims["ImageSha1s"][0] == sha1s[qi]
+    assert sims["Distances"][0] < 1e-3
+    # distances are exact L2 in index space (plain lopq: feature space)
+    for sid, d in zip(sims["ImageSha1s"], sims["Distances"]):
+        row = sha1s.index(sid)
+        np.testing.assert_allclose(
+            d, np.linalg.norm(feats[row] - feats[qi]), rtol=1e-3,
+            atol=1e-4)
