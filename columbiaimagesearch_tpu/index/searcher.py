@@ -211,6 +211,8 @@ class LOPQSearcherTPU(LOPQSearcherBase):
         # host arrays rather than mutating them, so a stale snapshot is
         # always internally consistent.
         self._mutlock = threading.RLock()
+        self._tier_hint = 0  # probe-ladder start rung (see _escalate)
+        self._wave_i = 0
         self._codestore = None
         if codestore_path is not None:
             # Durable native store (native/codestore.cpp): appends persist,
@@ -468,16 +470,36 @@ class LOPQSearcherTPU(LOPQSearcherBase):
 
     # --------------------------------------------------------------- search
 
+    #: tier-hint hysteresis: every REPROBE_EVERY-th wave restarts from the
+    #: narrowest rung so the hint can shift back down when the workload
+    #: eases (starting wide is never wrong — wider tiers see supersets).
+    REPROBE_EVERY = 32
+
     def _probe_ladder(self):
         from columbiaimagesearch_tpu.index.tpu_query import probe_ladder
 
         return probe_ladder(self.model.V, self.probe_width)
 
     def _escalate(self, run_tier, n, quota, nb, K_pad):
+        """Ladder escalation with tier-hint hysteresis: when >90% of a
+        wave's queries blow through the first rung (typical once the index
+        outgrows the narrow grid's candidate reach at the serving quota),
+        later waves start directly at the next rung instead of paying the
+        doomed narrow pass every time."""
         from columbiaimagesearch_tpu.index.tpu_query import escalate_probe
 
-        return escalate_probe(run_tier, self._probe_ladder(), n, quota, nb,
-                              K_pad)
+        ladder = self._probe_ladder()
+        start = min(self._tier_hint, len(ladder) - 1)
+        self._wave_i += 1
+        if start and self._wave_i % self.REPROBE_EVERY == 0:
+            start = 0
+        rows, dists, ncells, frac_short = escalate_probe(
+            run_tier, ladder[start:], n, quota, nb, K_pad)
+        if frac_short > 0.9 and start + 1 < len(ladder):
+            self._tier_hint = max(self._tier_hint, start + 1)
+        elif frac_short < 0.1:
+            self._tier_hint = start
+        return rows, dists, ncells
 
     def search_batch(self, X, quota=10, limit=None, with_dists=False,
                      with_codes=True, rerank_nb=None):
@@ -695,7 +717,12 @@ class LOPQSearcherTPU(LOPQSearcherBase):
             R = min(int(rerank_nb), K_pad)
         xd = jnp.asarray(np.asarray(x, dtype=np.float32))
 
-        ladder = self._probe_ladder()
+        full_ladder = self._probe_ladder()
+        start = min(self._tier_hint, len(full_ladder) - 1)
+        self._wave_i += 1
+        if start and self._wave_i % self.REPROBE_EVERY == 0:
+            start = 0
+        ladder = full_ladder[start:]
         quota_eff = min(int(quota), nb)
         cs = d["cells_sorted"] if d.get("cell_start") is None else None
         for ti, B in enumerate(ladder):
@@ -713,8 +740,13 @@ class LOPQSearcherTPU(LOPQSearcherBase):
                 pack_query_out(*out_d))             # one D2H sync per tier
             rows, dists, total, n_cells, ok = unpack_query_out(
                 packed, R or K_pad)
-            if (ti + 1 == len(ladder)
-                    or (int(total) >= quota_eff and int(ok))):
+            ok_here = int(total) >= quota_eff and int(ok)
+            if ti == 0:  # tier-hint hysteresis (see _escalate)
+                if not ok_here and start + 1 < len(full_ladder):
+                    self._tier_hint = max(self._tier_hint, start + 1)
+                elif ok_here:
+                    self._tier_hint = start
+            if ti + 1 == len(ladder) or ok_here:
                 break
         K_out = min(R, K) if R else K
         return (self._rows_to_results(rows[:K_out], dists[:K_out],

@@ -395,7 +395,9 @@ def escalate_probe(run_tier, ladder, n, quota, nb, K_pad):
 
     :param run_tier: (idx [k] int array, B) -> (rows [k, K_pad],
         dists [k, K_pad], total [k], ncells [k], grid_ok [k]) numpy arrays
-    :returns: (rows [n, K_pad] int32, dists [n, K_pad] f32, ncells [n])
+    :returns: (rows [n, K_pad] int32, dists [n, K_pad] f32, ncells [n],
+        frac_short_first — fraction of queries the FIRST ladder rung
+        could not satisfy; feeds the searchers' tier-hint hysteresis)
     """
     import numpy as np
 
@@ -404,16 +406,19 @@ def escalate_probe(run_tier, ladder, n, quota, nb, K_pad):
     dists_b = np.full((n, K_pad), np.inf, np.float32)
     ncells_b = np.zeros(n, np.int64)
     pend = np.arange(n)
+    frac_short_first = 0.0
     for ti, B in enumerate(ladder):
         r, dd, tot, nc, ok = run_tier(pend, B)
         rows_b[pend], dists_b[pend], ncells_b[pend] = r, dd, nc
         if ti + 1 == len(ladder):
             break
         short = (np.asarray(tot) < quota_eff) | (np.asarray(ok) == 0)
+        if ti == 0:
+            frac_short_first = float(short.mean()) if n else 0.0
         pend = pend[short]
         if len(pend) == 0:
             break
-    return rows_b, dists_b, ncells_b
+    return rows_b, dists_b, ncells_b, frac_short_first
 
 
 @jax.jit

@@ -114,6 +114,8 @@ class ShardedLOPQIndex:
         self._n_dev_rows = 0      # rows present in device buffers
         self._dev = None
         self._qfns = {}
+        self._tier_hint = 0       # probe-ladder start rung (hysteresis,
+        self._wave_i = 0          # same policy as LOPQSearcherTPU)
 
     @property
     def has_rerank_feats(self):
@@ -472,9 +474,17 @@ class ShardedLOPQIndex:
             packed = np.asarray(packed)[0]                # one D2H sync
             return unpack_query_out(packed[:k], R or K_pad)
 
-        ladder = probe_ladder(V, self.probe_width)
-        rows_b, dists_b, ncells_b = escalate_probe(
-            run_tier, ladder, nq, quota, nb, R or K_pad)
+        full_ladder = probe_ladder(V, self.probe_width)
+        start = min(self._tier_hint, len(full_ladder) - 1)
+        self._wave_i += 1
+        if start and self._wave_i % 32 == 0:
+            start = 0  # periodic re-probe lets the hint shift back down
+        rows_b, dists_b, ncells_b, frac_short = escalate_probe(
+            run_tier, full_ladder[start:], nq, quota, nb, R or K_pad)
+        if frac_short > 0.9 and start + 1 < len(full_ladder):
+            self._tier_hint = max(self._tier_hint, start + 1)
+        elif frac_short < 0.1:
+            self._tier_hint = start
         K_out = min(R, K) if R else K
         out = []
         for i in range(nq):

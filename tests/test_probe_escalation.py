@@ -149,3 +149,38 @@ def test_fused_device_feats_escalate(hard_setup):
     np.testing.assert_allclose(
         [r.dist for r in results], [r.dist for r in r_host],
         rtol=1e-3, atol=1e-4)
+
+
+def test_tier_hint_hysteresis(hard_setup):
+    """When every wave blows through the narrow rung, later waves start
+    directly at the wider rung (no repeated doomed narrow pass); results
+    stay oracle-correct, and the periodic re-probe lets the hint drop
+    back once the workload eases."""
+    model, params, q, coarse, fine, ids = hard_setup
+    s = LOPQSearcherTPU(model)
+    s.REPROBE_EVERY = 4
+    s.add_codes((coarse, fine), ids)
+    s_host = LOPQSearcher(model)
+    s_host.add_codes((coarse, fine), ids)
+    r_host, _ = s_host.search(q, quota=50, limit=10, with_dists=True)
+
+    assert s._tier_hint == 0
+    for _ in range(3):
+        results, _ = s.search_batch(q[None], quota=50, limit=10,
+                                    with_dists=True)[0]
+        np.testing.assert_allclose(
+            [r.dist for r in results], [r.dist for r in r_host],
+            rtol=1e-3, atol=1e-4)
+    assert s._tier_hint >= 1  # hard waves promoted the start rung
+
+    # Easy workload: quota satisfied at the wide rung keeps the hint
+    # there, and the periodic re-probe (every 4th wave) discovers the
+    # narrow rung suffices again.
+    c0, c1 = coarse[0]
+    Cs = params[0]
+    q_easy = np.concatenate([Cs[0][c0], Cs[1][c1]]).astype(np.float32)
+    for _ in range(10):
+        res, _ = s.search_batch(q_easy[None], quota=1, limit=5,
+                                with_dists=True)[0]
+        assert res
+    assert s._tier_hint == 0
