@@ -49,6 +49,9 @@ def main():
                     help="comma list to sweep, 0 = adaptive ladder "
                          "(e.g. '64,256,0'); default: one run at "
                          "--probe-width")
+    ap.add_argument("--quotas", default=None,
+                    help="comma list of quotas to sweep (each crossed "
+                         "with --probe-widths); default: --quota only")
     ap.add_argument("--out", default=None,
                     help="write a benchmarks/ JSON artifact here")
     ap.add_argument("--cpu", action="store_true",
@@ -201,16 +204,19 @@ def main():
     # (0 = adaptive escalation ladder, the serving default).
     widths = ([int(w) for w in args.probe_widths.split(",")]
               if args.probe_widths else [args.probe_width or 0])
+    quotas = ([int(q) for q in args.quotas.split(",")]
+              if args.quotas else [args.quota])
     s = LOPQSearcherTPU(model)
     s.add_codes((coarse, fine), ids=list(range(args.n)))
-    for w in widths:
-        s.probe_width = w or None
-        label_w = "adaptive" if not w else str(w)
-        print(f"[{time.time()-t0:.0f}s] probed search B={label_w}",
-              file=sys.stderr, flush=True)
-        recall(lambda q: [r.id for r in
-                          s.search(q, quota=args.quota, limit=100)[0]],
-               f"probed_quota{args.quota}", {"probe_width": label_w})
+    for quota in quotas:
+        for w in widths:
+            s.probe_width = w or None
+            label_w = "adaptive" if not w else str(w)
+            print(f"[{time.time()-t0:.0f}s] probed search B={label_w} "
+                  f"quota={quota}", file=sys.stderr, flush=True)
+            recall(lambda q: [r.id for r in
+                              s.search(q, quota=quota, limit=100)[0]],
+                   f"probed_quota{quota}", {"probe_width": label_w})
 
     # Probed + exact-feature rerank (the production configuration:
     # reference searcher_lopqhbase reranking path).
