@@ -103,10 +103,16 @@ def main():
     params = init_params(0)
     mean = jnp.asarray(default_mean_image())
 
+    # Two separate programs: fusing the vmapped procedural synthesis into
+    # the conv net produced one enormous HLO whose remote compile never
+    # returned (>18 min); split, each compiles in seconds.
     @jax.jit
-    def synth_extract(key, params, mean):
+    def synth_batch(key):
         keys = jax.random.split(key, args.batch)
-        imgs = jax.vmap(one_image)(keys)
+        return jax.vmap(one_image)(keys)
+
+    @jax.jit
+    def extract_batch(imgs, params, mean):
         x = preprocess_device(imgs, mean)
         f = sentibank_features(params, x)
         # featsio convention: L2-normalize before store (featsio.py:13-22)
@@ -118,7 +124,8 @@ def main():
     done = 0
     while done < args.n + args.queries:
         key, k = jax.random.split(key)
-        feats_parts.append(np.asarray(synth_extract(k, params, mean)))
+        feats_parts.append(
+            np.asarray(extract_batch(synth_batch(k), params, mean)))
         done += args.batch
         if done % (args.batch * 32) == 0:
             log(f"[{time.time()-t0:.0f}s] extracted {done}")
