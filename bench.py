@@ -386,7 +386,8 @@ def bench_serving(args, n_threads=4, reqs_per_thread=10):
         pca_dims=PCA_D, probe_width=args.probe_width,
         skip_get_sim_info=True, detector_type="full",
         featurizer=SentibankFeaturizer(), sim_limit=args.limit,
-        reranking=args.rerank, rerank_nb=min(10 * args.limit, 1000))
+        reranking=args.rerank, rerank_nb=min(10 * args.limit, 1000),
+        coalesce_window_ms=args.coalesce)
     searcher.searcher.add_codes((coarse, fine), feats=feats)
     if args.rerank:
         assert searcher.searcher.has_rerank_feats
@@ -460,7 +461,8 @@ def bench_serving(args, n_threads=4, reqs_per_thread=10):
         "unit": "ms",
         "vs_baseline": round(baseline_s / p50, 2),
         "extra": {"p99_ms": round(p99 * 1e3, 1), "qps": round(qps, 1),
-                  "clients": n_threads, "nb_indexed": n_index},
+                  "clients": n_threads, "nb_indexed": n_index,
+                  "coalesce_ms": args.coalesce},
     }))
 
 
@@ -521,6 +523,10 @@ def main():
                     help="serving mode: enable device-resident exact "
                          "reranking (the reference production config, "
                          "conf_search_sbpycaffe_release.json:16)")
+    ap.add_argument("--coalesce", type=float, default=None, metavar="MS",
+                    help="serving mode: cross-request micro-batching "
+                         "window in ms (api/microbatch.py); concurrent "
+                         "requests meld into one device wave")
     ap.add_argument("--quota", type=int, default=10_000)
     ap.add_argument("--limit", type=int, default=100)
     ap.add_argument("--batches", type=int, default=5)

@@ -21,7 +21,7 @@ class GenericSearcher:
                  reranking=False, rerank_nb=None, skip_get_sim_info=False,
                  file_input=False, dict_output_type="CamelCase",
                  detector=None, featurizer=None, indexer=None, storer=None,
-                 verbose=0):
+                 verbose=0, coalesce_window_ms=None, coalesce_max_batch=32):
         self.detector_type = detector_type
         self.featurizer_type = featurizer_type
         self.input_type = input_type
@@ -62,6 +62,21 @@ class GenericSearcher:
         self.do = DictOutput(dict_output_type)
         self.do.url_field = self.img_column
 
+        # Cross-request micro-batching (see api/microbatch.py): concurrent
+        # requests arriving within the window are melded into one device
+        # wave — one batched forward + one probed-query launch. The
+        # reference scales by gunicorn worker replication instead
+        # (api/gunicorn_api.py:21-75); one resident index + batched waves
+        # is the TPU-shaped equivalent.
+        self.request_batcher = None
+        if coalesce_window_ms is not None:
+            from columbiaimagesearch_tpu.api.microbatch import MicroBatcher
+
+            self.request_batcher = MicroBatcher(
+                self._serve_batch, max_batch=coalesce_max_batch,
+                window_ms=coalesce_window_ms,
+                name=f"{self.pp}-coalescer")
+
         self.init_searcher()
 
     @classmethod
@@ -70,7 +85,7 @@ class GenericSearcher:
         keys = ["detector_type", "featurizer_type", "input_type", "sim_limit",
                 "quota", "near_dup", "near_dup_th", "top_feature",
                 "reranking", "rerank_nb", "skip_get_sim_info", "file_input",
-                "verbose"]
+                "verbose", "coalesce_window_ms", "coalesce_max_batch"]
         kwargs = {k: conf[k] for k in keys if k in conf}
         kwargs.update(components)
         return cls(**kwargs)
@@ -110,10 +125,32 @@ class GenericSearcher:
     def _search_from_any_list(self, image_list, load_fn, options_dict,
                               push_img=False):
         """Detect/featurize each query then search
-        (reference: generic_searcher.py:343-414)."""
-        dets, feats = [], []
-        for image in image_list:
-            if self.detector is not None:
+        (reference: generic_searcher.py:343-414).
+
+        Decode (and for the face path, detect+featurize) runs in the
+        CALLER's thread — it parallelizes across server handler threads.
+        The device work (featurize forward + probed query) runs in
+        ``_serve_batch``, either directly or — when request coalescing is
+        on — melded with concurrent requests into one device wave
+        (``api/microbatch.MicroBatcher``; see ``coalesce_window_ms``).
+        """
+        request = self._prepare_request(image_list, load_fn, options_dict,
+                                        push_img)
+        if self.request_batcher is not None:
+            return self.request_batcher.submit(request)
+        out = self._serve_batch([request])[0]
+        if isinstance(out, Exception):
+            raise out
+        return out
+
+    def _prepare_request(self, image_list, load_fn, options_dict,
+                         push_img=False):
+        """Host-side request prep: decode buffers (non-detector) or the
+        full detect+featurize (detector path). Returns a dict consumed by
+        ``_serve_batch``."""
+        if self.detector is not None:
+            dets, feats = [], []
+            for image in image_list:
                 infos, img, bboxes = load_fn(image)
                 sha1, img_type, width, height = infos
                 dets.append((sha1, bboxes, image if push_img else None,
@@ -124,52 +161,115 @@ class GenericSearcher:
                         face_feats = list(self.featurizer.featurize_batch(
                             img, bboxes))
                 feats.append(face_feats)
-            else:
-                from columbiaimagesearch_tpu.imgio.imgio import (
-                    get_SHA1_from_buffer,
-                    load_image_from_buffer,
-                )
+            return {"dets": dets, "feats": feats, "options": options_dict}
 
-                buf = load_fn(image)
-                sha1 = get_SHA1_from_buffer(buf)
-                dets.append((sha1, image if push_img else None))
-                # Use the same decode path as extraction (native imgpipe)
-                # so query features match stored features bit-for-bit.
-                # Fused serving path: when the featurizer can leave its
-                # output on device and the backend accepts raw device
-                # features, the feature never visits the host. Reranking
-                # stays on the fused route when the backend holds a
-                # device feature store (fused exact rerank); without one
-                # it needs host features -> falls back.
-                backend = getattr(self, "searcher", None)
-                rerank_req = bool(options_dict.get("reranking",
-                                                   self.reranking))
-                use_device = (
-                    hasattr(self.featurizer, "featurize_buffers_device")
-                    and hasattr(backend, "search_device_feats")
-                    and (not rerank_req
-                         or getattr(backend, "has_rerank_feats", False)))
-                if use_device:
-                    buf.seek(0)
-                    fts, status = self.featurizer.featurize_buffers_device(
-                        [buf.read()])
-                    if int(status[0]) == 0:
-                        feats.append(fts[0])
-                        continue
-                # Device-path failure falls back here first: the buffers
-                # path shares extraction's decode, so query features stay
-                # bit-identical to stored ones (the PIL decode below does
-                # not — last resort only).
-                if hasattr(self.featurizer, "featurize_buffers"):
-                    buf.seek(0)
-                    fts, status = self.featurizer.featurize_buffers(
-                        [buf.read()])
-                    if status[0] == 0:
-                        feats.append(fts[0])
-                        continue
-                feats.append(self.featurizer.featurize(
-                    load_image_from_buffer(buf)))
-        return self.search_from_feats(dets, feats, options_dict)
+        from columbiaimagesearch_tpu.imgio.imgio import get_SHA1_from_buffer
+
+        dets, bufs = [], []
+        for image in image_list:
+            buf = load_fn(image)
+            sha1 = get_SHA1_from_buffer(buf)
+            dets.append((sha1, image if push_img else None))
+            buf.seek(0)
+            bufs.append(buf.read())
+        return {"dets": dets, "bufs": bufs, "options": options_dict}
+
+    def _featurize_bufs(self, bufs, use_device):
+        """One batched featurize for ``bufs`` with the per-image fallback
+        ladder. Uses the same decode path as extraction (native imgpipe)
+        so query features match stored features bit-for-bit; the PIL
+        decode is a last resort only (not bit-identical).
+
+        Fused serving path: when the featurizer can leave its output on
+        device and the backend accepts raw device features, the feature
+        never visits the host (``use_device``)."""
+        import io
+
+        from columbiaimagesearch_tpu.imgio.imgio import load_image_from_buffer
+
+        feats = [None] * len(bufs)
+        pending = list(range(len(bufs)))
+        if use_device and pending:
+            fts, status = self.featurizer.featurize_buffers_device(
+                [bufs[i] for i in pending])
+            ok = [j for j, i in enumerate(pending) if int(status[j]) == 0]
+            for j in ok:
+                feats[pending[j]] = fts[j]
+            pending = [i for j, i in enumerate(pending)
+                       if int(status[j]) != 0]
+        # Device-path failure falls back here first: the buffers path
+        # shares extraction's decode.
+        if pending and hasattr(self.featurizer, "featurize_buffers"):
+            fts, status = self.featurizer.featurize_buffers(
+                [bufs[i] for i in pending])
+            ok = [j for j, i in enumerate(pending) if int(status[j]) == 0]
+            for j in ok:
+                feats[pending[j]] = fts[j]
+            pending = [i for j, i in enumerate(pending)
+                       if int(status[j]) != 0]
+        for i in pending:
+            feats[i] = self.featurizer.featurize(
+                load_image_from_buffer(io.BytesIO(bufs[i])))
+        return feats
+
+    def _use_device_feats(self, options_dict):
+        backend = getattr(self, "searcher", None)
+        rerank_req = bool(options_dict.get("reranking", self.reranking))
+        return (hasattr(self.featurizer, "featurize_buffers_device")
+                and hasattr(backend, "search_device_feats")
+                and (not rerank_req
+                     or getattr(backend, "has_rerank_feats", False)))
+
+    def _serve_batch(self, requests):
+        """Device stage for 1+ prepared requests: one batched featurize
+        across every request's buffers, then the query. Subclasses that
+        implement ``search_from_feats_multi`` get the query waves
+        coalesced too; others fall back to per-request
+        ``search_from_feats``. Per-request failures return as Exception
+        results (the MicroBatcher re-raises them in the right caller)."""
+        # Batched featurize, grouped by device-eligibility (device
+        # eligibility depends on per-request rerank options).
+        groups = {}
+        for ri, req in enumerate(requests):
+            if "bufs" in req and req["bufs"]:
+                groups.setdefault(
+                    self._use_device_feats(req["options"]), []).append(ri)
+        for use_device, rids in groups.items():
+            flat = [b for ri in rids for b in requests[ri]["bufs"]]
+            try:
+                feats = self._featurize_bufs(flat, use_device)
+            except Exception as inst:  # noqa: BLE001 — isolate to group
+                for ri in rids:
+                    requests[ri]["error"] = inst
+                continue
+            at = 0
+            for ri in rids:
+                n = len(requests[ri]["bufs"])
+                requests[ri]["feats"] = feats[at:at + n]
+                at += n
+        for req in requests:
+            req.setdefault("feats", [])
+
+        multi = getattr(self, "search_from_feats_multi", None)
+        ready = [i for i, r in enumerate(requests) if "error" not in r]
+        outs = {}
+        if multi is not None and len(ready) > 1:
+            try:
+                got = multi([(requests[i]["dets"], requests[i]["feats"],
+                              requests[i]["options"]) for i in ready])
+                outs = dict(zip(ready, got))
+            except Exception:  # noqa: BLE001 — retry per-request below
+                outs = {}
+        if not outs:
+            for i in ready:
+                r = requests[i]
+                try:
+                    outs[i] = self.search_from_feats(
+                        r["dets"], r["feats"], r["options"])
+                except Exception as inst:  # noqa: BLE001
+                    outs[i] = inst
+        return [requests[i].get("error") or outs[i]
+                for i in range(len(requests))]
 
     # -------------------------------------------------- subclass interface
 

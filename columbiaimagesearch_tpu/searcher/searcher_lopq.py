@@ -383,15 +383,78 @@ class SearcherLOPQ(GenericSearcher):
         by_key = {r[0]: r for r in rows}
         return [by_key.get(s, (s,)) for s in sha1s]
 
+    def _query_params(self, options_dict):
+        """Resolve the per-request query parameters (reference:
+        searcher_lopqhbase.py:783-820 option handling)."""
+        options_dict = options_dict or {}
+        return (min(1000 * int(options_dict.get("max_returned",
+                                                self.sim_limit)), 10000),
+                int(options_dict.get("max_returned", self.sim_limit)),
+                bool(options_dict.get("reranking", self.reranking)),
+                int(options_dict.get("rerank_nb", self.rerank_nb)),
+                bool(options_dict.get("near_dup", self.near_dup)),
+                float(options_dict.get("near_dup_th", self.near_dup_th)))
+
+    def _assemble_simple(self, dets, feats, answers, options_dict):
+        """Non-detector answers -> formatted output (one request)."""
+        all_sim_images, all_sim_dets, all_sim_score = [], [], []
+        w = 0
+        for _ in range(len(feats)):
+            if self.searcher is None:
+                all_sim_images.append([[]])
+                all_sim_dets.append([])
+                all_sim_score.append([[]])
+                continue
+            ids, dd, _ = answers[w]
+            w += 1
+            sha1s = [str(r) for r in ids]
+            all_sim_images.append([self._info_rows(sha1s)])
+            all_sim_dets.append([])
+            all_sim_score.append([dd])
+        return self.do.format_output(dets, all_sim_images, all_sim_dets,
+                                     all_sim_score, options_dict,
+                                     self.input_type)
+
+    def search_from_feats_multi(self, requests):
+        """Coalesced serving: one `_search_many` device wave for every
+        same-parameter request in the batch, then per-request output
+        assembly (so batch-wide counters in the response stay per-request
+        correct). Called by ``GenericSearcher._serve_batch`` when request
+        coalescing is on; detector-path requests fall back per-request.
+
+        :param requests: list of (dets, feats, options_dict)
+        :returns: one formatted output dict per request, in order
+        """
+        if self.detector is not None:
+            return [self.search_from_feats(d, f, o) for d, f, o in requests]
+        groups = {}
+        for ri, (_, _, options) in enumerate(requests):
+            groups.setdefault(self._query_params(options), []).append(ri)
+        answers_by_req = {}
+        for params, rids in groups.items():
+            (quota, max_returned, reranking, rerank_nb,
+             filter_near_dup, near_dup_th) = params
+            wave, spans = [], []
+            for ri in rids:
+                start = len(wave)
+                if self.searcher is not None:
+                    wave.extend(requests[ri][1])
+                spans.append((start, len(wave)))
+            answers = self._search_many(wave, quota, max_returned,
+                                        reranking, rerank_nb,
+                                        filter_near_dup, near_dup_th,
+                                        split_ids=False)
+            for ri, (s, e) in zip(rids, spans):
+                answers_by_req[ri] = answers[s:e]
+        return [self._assemble_simple(dets, feats, answers_by_req[ri],
+                                      options)
+                for ri, (dets, feats, options) in enumerate(requests)]
+
     def search_from_feats(self, dets, feats, options_dict=None):
         """(reference: searcher_lopqhbase.py:783-1067)"""
         options_dict = options_dict or {}
-        filter_near_dup = bool(options_dict.get("near_dup", self.near_dup))
-        near_dup_th = float(options_dict.get("near_dup_th", self.near_dup_th))
-        reranking = bool(options_dict.get("reranking", self.reranking))
-        rerank_nb = int(options_dict.get("rerank_nb", self.rerank_nb))
-        max_returned = int(options_dict.get("max_returned", self.sim_limit))
-        quota = min(1000 * max_returned, 10000)
+        (quota, max_returned, reranking, rerank_nb, filter_near_dup,
+         near_dup_th) = self._query_params(options_dict)
 
         all_sim_images, all_sim_dets, all_sim_score = [], [], []
 
@@ -429,19 +492,7 @@ class SearcherLOPQ(GenericSearcher):
             answers = self._search_many(
                 wave, quota, max_returned, reranking, rerank_nb,
                 filter_near_dup, near_dup_th, split_ids=False)
-            w = 0
-            for i in range(len(feats)):
-                if self.searcher is None:
-                    all_sim_images.append([[]])
-                    all_sim_dets.append([])
-                    all_sim_score.append([[]])
-                    continue
-                ids, dd, _ = answers[w]
-                w += 1
-                sha1s = [str(r) for r in ids]
-                all_sim_images.append([self._info_rows(sha1s)])
-                all_sim_dets.append([])
-                all_sim_score.append([dd])
+            return self._assemble_simple(dets, feats, answers, options_dict)
 
         return self.do.format_output(dets, all_sim_images, all_sim_dets,
                                      all_sim_score, options_dict,
