@@ -48,6 +48,31 @@ def _codes_to_arrays(codes, ids, V, S):
     return coarse, fine, ids_arr
 
 
+def _query_geometry(quota, limit, nb, rerank_nb):
+    """Shared device-query shape math for the single-chip paths.
+
+    ``limit`` is the OUTPUT size the caller consumes; ``rerank_nb`` the
+    exact-rerank depth. The ADC stage must keep max(limit, rerank_nb)
+    rows (K_stage) so the re-sort sees the full depth, but the kernel
+    emits only K_emit rows — serving at limit=100/rerank_nb=1000 moves
+    ~10x less data device-to-host and runs a 10x smaller exact top-k.
+
+    :returns: (K requested output rows, Q candidate budget,
+        K_stage ADC top-k depth, R rerank depth (0 = off),
+        K_emit packed rows per query)
+    """
+    K = min(limit if limit is not None else quota, nb)
+    Q = min(round_up(int(quota) + 1024, 1024), round_up(nb, 256))
+    if rerank_nb:
+        K_stage = min(round_up(max(K, int(rerank_nb)), 16), Q)
+        R = min(int(rerank_nb), K_stage)
+        K_emit = min(round_up(K, 16), R)
+    else:
+        K_stage = min(round_up(K, 16), Q)
+        R, K_emit = 0, K_stage
+    return K, Q, K_stage, R, K_emit
+
+
 class LOPQSearcherBase(object):
     def __init__(self):
         self.nb_indexed = 0
@@ -543,16 +568,12 @@ class LOPQSearcherTPU(LOPQSearcherBase):
             return [([], 0)] * len(X)
 
         V = self.model.V
-        K = min(limit if limit is not None else quota, nb)
-        Q = min(round_up(int(quota) + 1024, 1024), round_up(nb, 256))
-        K_pad = min(round_up(K, 16), Q)
-        R = 0
-        if rerank_nb:
-            if d.get("feats") is None:
-                raise ValueError(
-                    "rerank_nb requires a resident feature store "
-                    "(add_codes(..., feats=...) for every add)")
-            R = min(int(rerank_nb), K_pad)
+        if rerank_nb and d.get("feats") is None:
+            raise ValueError(
+                "rerank_nb requires a resident feature store "
+                "(add_codes(..., feats=...) for every add)")
+        K, Q, K_stage, R, K_emit = _query_geometry(quota, limit, nb,
+                                                   rerank_nb)
 
         def run_tier(idx, B):
             def qfn(q, Cs, Rs, mus, subs, codes, cell_start, order, feats,
@@ -560,12 +581,12 @@ class LOPQSearcherTPU(LOPQSearcherBase):
                 if R:
                     rows, dists, total, ncells, ok = lopq_query_rerank(
                         q, feats, Cs, Rs, mus, subs, codes, cell_start,
-                        order, qq, cells_sorted, V=V, B=B, Q=Q, K=K_pad,
-                        R=R)
+                        order, qq, cells_sorted, V=V, B=B, Q=Q, K=K_stage,
+                        R=R, K_out=K_emit)
                 else:
                     rows, dists, total, ncells, ok = lopq_query_orig(
                         q, Cs, Rs, mus, subs, codes, cell_start,
-                        order, qq, cells_sorted, V=V, B=B, Q=Q, K=K_pad)
+                        order, qq, cells_sorted, V=V, B=B, Q=Q, K=K_stage)
                 return pack_query_out(rows, dists, total, ncells, ok)
 
             batched = jax.vmap(qfn, in_axes=(0,) + (None,) * 10)
@@ -576,11 +597,11 @@ class LOPQSearcherTPU(LOPQSearcherBase):
                 d.get("feats"),
                 d["cells_sorted"] if d.get("cell_start") is None else None,
                 jnp.asarray(quota, dtype=jnp.int32)))    # one D2H sync
-            return unpack_query_out(packed[:k], R or K_pad)
+            return unpack_query_out(packed[:k], K_emit)
 
         rows_b, dists_b, ncells_b = self._escalate(
-            run_tier, len(X), quota, nb, R or K_pad)
-        K_out = min(R, K) if R else K
+            run_tier, len(X), quota, nb, K_emit)
+        K_out = min(K, K_emit)
         return [
             (self._rows_to_results(rows_b[i][:K_out], dists_b[i][:K_out],
                                    with_dists, ids_arr, cells_arr, fine_arr,
@@ -646,17 +667,13 @@ class LOPQSearcherTPU(LOPQSearcherBase):
             return [([], 0)] * nq
 
         V = self.model.V
-        K = min(limit if limit is not None else quota, nb)
-        Q = min(round_up(int(quota) + 1024, 1024), round_up(nb, 256))
-        K_pad = min(round_up(K, 16), Q)
         renorm = bool(getattr(self.model, "renorm", False))
-        R = 0
-        if rerank_nb:
-            if d.get("feats") is None:
-                raise ValueError(
-                    "rerank_nb requires a resident feature store "
-                    "(add_codes(..., feats=...) for every add)")
-            R = min(int(rerank_nb), K_pad)
+        if rerank_nb and d.get("feats") is None:
+            raise ValueError(
+                "rerank_nb requires a resident feature store "
+                "(add_codes(..., feats=...) for every add)")
+        K, Q, K_stage, R, K_emit = _query_geometry(quota, limit, nb,
+                                                   rerank_nb)
 
         def run_tier(idx, B):
             Xt = feats_dev if len(idx) == nq else jnp.take(
@@ -668,13 +685,13 @@ class LOPQSearcherTPU(LOPQSearcherBase):
                 d["codes"], d.get("cell_start"), d["order"],
                 jnp.asarray(quota, dtype=jnp.int32), d.get("feats"),
                 d["cells_sorted"] if d.get("cell_start") is None else None,
-                V=V, B=B, Q=Q, K=K_pad, R=R, renorm=renorm,
+                V=V, B=B, Q=Q, K=K_stage, R=R, K_out=K_emit, renorm=renorm,
                 lut_impl="stream"))  # one D2H sync; stream is vmap-safe
-            return unpack_query_out(packed[:k], R or K_pad)
+            return unpack_query_out(packed[:k], K_emit)
 
         rows_b, dists_b, ncells_b = self._escalate(
-            run_tier, nq, quota, nb, R or K_pad)
-        K_out = min(R, K) if R else K
+            run_tier, nq, quota, nb, K_emit)
+        K_out = min(K, K_emit)
         return [
             (self._rows_to_results(rows_b[i][:K_out], dists_b[i][:K_out],
                                    with_dists, ids_arr, cells_arr, fine_arr,
@@ -705,16 +722,12 @@ class LOPQSearcherTPU(LOPQSearcherBase):
             return [], 0
 
         V = self.model.V
-        K = min(limit if limit is not None else quota, nb)
-        Q = min(round_up(int(quota) + 1024, 1024), round_up(nb, 256))
-        K_pad = min(round_up(K, 16), Q)
-        R = 0
-        if rerank_nb:
-            if d.get("feats") is None:
-                raise ValueError(
-                    "rerank_nb requires a resident feature store "
-                    "(add_codes(..., feats=...) for every add)")
-            R = min(int(rerank_nb), K_pad)
+        if rerank_nb and d.get("feats") is None:
+            raise ValueError(
+                "rerank_nb requires a resident feature store "
+                "(add_codes(..., feats=...) for every add)")
+        K, Q, K_stage, R, K_emit = _query_geometry(quota, limit, nb,
+                                                   rerank_nb)
         xd = jnp.asarray(np.asarray(x, dtype=np.float32))
 
         full_ladder = self._probe_ladder()
@@ -730,16 +743,17 @@ class LOPQSearcherTPU(LOPQSearcherBase):
                 out_d = lopq_query_rerank(
                     xd, d["feats"], d["Cs"], d["Rs"], d["mus"], d["subs"],
                     d["codes"], d.get("cell_start"), d["order"], quota, cs,
-                    V=V, B=B, Q=Q, K=K_pad, R=R, lut_impl="auto")
+                    V=V, B=B, Q=Q, K=K_stage, R=R, K_out=K_emit,
+                    lut_impl="auto")
             else:
                 out_d = lopq_query_orig(
                     xd, d["Cs"], d["Rs"], d["mus"], d["subs"],
                     d["codes"], d.get("cell_start"), d["order"], quota, cs,
-                    V=V, B=B, Q=Q, K=K_pad, lut_impl="auto")
+                    V=V, B=B, Q=Q, K=K_stage, lut_impl="auto")
             packed = np.asarray(
                 pack_query_out(*out_d))             # one D2H sync per tier
             rows, dists, total, n_cells, ok = unpack_query_out(
-                packed, R or K_pad)
+                packed, K_emit)
             ok_here = int(total) >= quota_eff and int(ok)
             if ti == 0:  # tier-hint hysteresis (see _escalate)
                 if not ok_here and start + 1 < len(full_ladder):
@@ -748,7 +762,7 @@ class LOPQSearcherTPU(LOPQSearcherBase):
                     self._tier_hint = start
             if ti + 1 == len(ladder) or ok_here:
                 break
-        K_out = min(R, K) if R else K
+        K_out = min(K, K_emit)
         return (self._rows_to_results(rows[:K_out], dists[:K_out],
                                       with_dists, ids_arr, cells_arr,
                                       fine_arr),

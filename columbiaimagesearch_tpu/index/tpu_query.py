@@ -318,10 +318,11 @@ def lopq_query(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("V", "B", "Q", "K", "R", "lut_impl"))
+    jax.jit, static_argnames=("V", "B", "Q", "K", "R", "K_out", "lut_impl"))
 def lopq_query_rerank(x, feats, Cs, Rs, mus, subs, codes, cell_start, order,
                       quota, cells_sorted=None, *, V: int, B: int, Q: int,
-                      K: int, R: int, lut_impl: str = "stream"):
+                      K: int, R: int, K_out: int = 0,
+                      lut_impl: str = "stream"):
     """Probed ADC query + device-resident exact rerank in ONE program.
 
     The reference's production config serves with ``reranking: true``
@@ -342,7 +343,11 @@ def lopq_query_rerank(x, feats, Cs, Rs, mus, subs, codes, cell_start, order,
     :param feats: [cap, Dr] feature matrix, insertion-order rows
     :param R: rerank depth (static); candidates past R are dropped,
         exactly like the reference's ``order[:rerank_nb]``
-    :returns: (rows [R] int32 insertion-order, exact_dists [R] f32,
+    :param K_out: rows emitted after the re-sort (0 = all R). Serving
+        callers only consume ``max_returned`` results, so emitting the
+        top K_out of the reranked R shrinks both the device top-k and
+        the packed device-to-host transfer ~R/K_out x.
+    :returns: (rows [K_out or R] int32 insertion-order, exact_dists f32,
         total, n_cells, grid_ok)
     """
     rows, dists, total, n_cells, grid_ok = lopq_query(
@@ -354,7 +359,7 @@ def lopq_query_rerank(x, feats, Cs, Rs, mus, subs, codes, cell_start, order,
     diff = cand - x[None, :]
     exact = jnp.sqrt(jnp.sum(diff * diff, axis=1))
     exact = jnp.where(rR >= 0, exact, jnp.inf)
-    top_neg, idx = jax.lax.top_k(-exact, R)
+    top_neg, idx = jax.lax.top_k(-exact, min(K_out, R) if K_out else R)
     top_rows = jnp.where(jnp.isfinite(top_neg), rR[idx], -1)
     return top_rows, -top_neg, total, n_cells, grid_ok
 
@@ -457,10 +462,10 @@ def unpack_query_out(packed, K_pad):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("V", "B", "Q", "K", "R", "renorm", "lut_impl"))
+    static_argnames=("V", "B", "Q", "K", "R", "K_out", "renorm", "lut_impl"))
 def fused_feat_query(X, pca_P, pca_mu, Cs, Rs, mus, subs, codes, cell_start,
                      order, quota, feats=None, cells_sorted=None, *, V: int,
-                     B: int, Q: int, K: int, R: int = 0,
+                     B: int, Q: int, K: int, R: int = 0, K_out: int = 0,
                      renorm: bool = False, lut_impl: str = "stream"):
     """Raw extracted features -> packed search results in ONE program:
     L2-normalize, optional PCA projection (+renorm), vmapped probed query,
@@ -477,8 +482,10 @@ def fused_feat_query(X, pca_P, pca_mu, Cs, Rs, mus, subs, codes, cell_start,
     :param feats: [cap, D] index-space feature matrix (insertion-order
         rows) — required when R > 0
     :param R: rerank depth; 0 disables rerank (see lopq_query_rerank)
-    :returns: [NQ, 2*K+2] packed int32 (or [NQ, 2*R+2] when R > 0;
-        see pack_query_out)
+    :param K_out: with R > 0, rows emitted after the device re-sort
+        (0 = all R; see lopq_query_rerank)
+    :returns: [NQ, 2*K+2] packed int32 (or [NQ, 2*(K_out or R)+2] when
+        R > 0; see pack_query_out)
     """
     X = X.astype(jnp.float32)
     Xn = X / jnp.maximum(jnp.linalg.norm(X, axis=1, keepdims=True), 1e-30)
@@ -493,7 +500,7 @@ def fused_feat_query(X, pca_P, pca_mu, Cs, Rs, mus, subs, codes, cell_start,
         if R > 0:
             rows, dists, total, ncells, ok = lopq_query_rerank(
                 q, feats, Cs, Rs, mus, subs, codes, cell_start, order,
-                quota, cells_sorted, V=V, B=B, Q=Q, K=K, R=R,
+                quota, cells_sorted, V=V, B=B, Q=Q, K=K, R=R, K_out=K_out,
                 lut_impl=lut_impl)
         else:
             rows, dists, total, ncells, ok = lopq_query_orig(

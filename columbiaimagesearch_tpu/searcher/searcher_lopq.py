@@ -262,16 +262,19 @@ class SearcherLOPQ(GenericSearcher):
         of the reference's gunicorn worker pool, api/gunicorn_api.py:21-75,
         played by device batching instead of processes).
         """
-        limit = (max_returned if not reranking
-                 else max(max_returned, rerank_nb))
         # Device-resident rerank: when every indexed row has a feature in
         # HBM (see LOPQSearcherTPU.add_codes feats), the exact rerank
         # fuses into the query program — the reference's production
         # reranking path (searcher_lopqhbase.py:862-912) without the
         # indexer round-trip. Results then arrive already re-sorted by
-        # exact distance, so _rank_results only filters/truncates.
+        # exact distance, so _rank_results only filters/truncates — and
+        # the kernel emits only max_returned rows (rerank_nb is a
+        # separate depth knob, index/searcher._query_geometry). The
+        # host-rerank fallback needs all rerank_nb rows back instead.
         device_rerank = bool(
             reranking and getattr(self.searcher, "has_rerank_feats", False))
+        limit = (max_returned if (not reranking or device_rerank)
+                 else max(max_returned, rerank_nb))
         dev_rerank_nb = rerank_nb if device_rerank else None
         if (feat_list and (not reranking or device_rerank)
                 and hasattr(self.searcher, "search_device_feats")
@@ -316,10 +319,10 @@ class SearcherLOPQ(GenericSearcher):
         """One query feature -> (ids, dists, visited)."""
         norm = np.linalg.norm(feat)
         normed = np.squeeze(np.asarray(feat, dtype=np.float32) / norm)
-        limit = (max_returned if not reranking
-                 else max(max_returned, rerank_nb))
         device_rerank = bool(
             reranking and getattr(self.searcher, "has_rerank_feats", False))
+        limit = (max_returned if (not reranking or device_rerank)
+                 else max(max_returned, rerank_nb))
         kw = {"rerank_nb": rerank_nb} if device_rerank else {}
         results, visited = self.searcher.search(
             normed, quota=quota, limit=limit, with_dists=True, **kw)

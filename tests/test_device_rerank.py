@@ -209,3 +209,33 @@ def test_sharded_incremental_feats_append():
     # a featureless append drops the store
     idx.append(coarse[:1], fine[:1], ["extra_0"])
     assert not idx.has_rerank_feats
+
+
+def test_rerank_depth_decoupled_from_output_limit(setup):
+    """Serving shape: limit (output rows) < rerank_nb (re-score depth).
+    The kernel re-scores the full depth but emits only ~limit rows
+    (index/searcher._query_geometry K_out); results must equal the
+    truncated full-depth oracle, for both batch and single paths."""
+    model, params, X, coarse, fine, ids, queries = setup
+    s = LOPQSearcherTPU(model)
+    s.add_codes((coarse, fine), ids, feats=X)
+    for path in ("batch", "single"):
+        for q in queries[:3]:
+            if path == "batch":
+                results, _ = s.search_batch(
+                    q[None], quota=300, limit=10, with_dists=True,
+                    rerank_nb=100)[0]
+            else:
+                results, _ = s.search(q, quota=300, limit=10,
+                                      with_dists=True, rerank_nb=100)
+            want_ids, want_d = oracle_rerank(
+                model, X, coarse, fine, ids, q, quota=300,
+                rerank_nb=100, limit=10)
+            got_d = [r.dist for r in results]
+            assert len(results) == len(want_ids) == 10
+            np.testing.assert_allclose(got_d, want_d, rtol=1e-4,
+                                       atol=1e-5)
+            for i, (a, b) in enumerate(zip([r.id for r in results],
+                                           want_ids)):
+                if a != b:  # float-tie swaps only
+                    assert abs(got_d[i] - want_d[i]) < 1e-4
