@@ -339,13 +339,16 @@ class ShardedLOPQIndex:
 
     # -------------------------------------------------------------- queries
 
-    def _query_fn(self, V, B, Q, K, R=0):
+    def _query_fn(self, V, B, Q, K, R=0, K_out=0):
         # Cache compiled fan-out functions per static config — building a
         # fresh shard_map closure per call would miss jax's jit cache.
         # The wave (query-batch) axis is vmapped inside the shard_map, so
         # one compiled program serves any bucketed wave size without
-        # retracing the collective layout.
-        key = (V, B, Q, K, R)
+        # retracing the collective layout. ``K_out`` (with R) bounds the
+        # rows emitted after the mesh-wide rerank re-sort — serving only
+        # consumes ``limit`` rows, so the packed result and its host sync
+        # shrink ~R/K_out x (see index/searcher._query_geometry).
+        key = (V, B, Q, K, R, K_out)
         cached = self._qfns.get(key)
         if cached is not None:
             return cached
@@ -394,7 +397,8 @@ class ShardedLOPQIndex:
                 all_exact = gather_q(exact)
                 m_exact = jnp.take_along_axis(
                     all_exact, top_i, axis=1)[:, :R]        # [nq, R]
-                r_neg, r_i = jax.lax.top_k(-m_exact, R)
+                r_neg, r_i = jax.lax.top_k(
+                    -m_exact, min(K_out, R) if K_out else R)
                 m_rows = jnp.take_along_axis(m_rows[:, :R], r_i, axis=1)
                 m_rows = jnp.where(jnp.isfinite(r_neg), m_rows, -1)
                 m_dists = -r_neg
@@ -448,14 +452,17 @@ class ShardedLOPQIndex:
         K = min(limit if limit is not None else quota, max(nb, 1))
         Q = min(round_up(int(quota * 1.5) + 256, 1024),
                 round_up(max(self._cap_per, 256), 256))
-        K_pad = min(round_up(K, 16), Q)
-        R = 0
         if rerank_nb:
             if self._dev.get("feats") is None:
                 raise ValueError(
                     "rerank_nb requires a resident feature store "
                     "(append(..., feats=...) for every append)")
-            R = min(int(rerank_nb), K_pad)
+            K_stage = min(round_up(max(K, int(rerank_nb)), 16), Q)
+            R = min(int(rerank_nb), K_stage)
+            K_emit = min(round_up(K, 16), R)
+        else:
+            K_stage = min(round_up(K, 16), Q)
+            R, K_emit = 0, min(round_up(K, 16), Q)
 
         d = self._dev          # snapshot (swapped atomically on refresh)
         ids_snap = self._ids
@@ -463,7 +470,7 @@ class ShardedLOPQIndex:
         def run_tier(idx, B):
             from columbiaimagesearch_tpu.utils.chunking import pad_rows
 
-            qfn = self._query_fn(V, B, Q, K_pad, R)
+            qfn = self._query_fn(V, B, Q, K_stage, R, K_emit)
             Xw, k = pad_rows(X[idx], wave_bucket(len(idx)))
             extra = (d["feats"],) if R else ()
             packed = qfn(
@@ -472,7 +479,7 @@ class ShardedLOPQIndex:
                 jnp.asarray(quota, dtype=jnp.int32), *extra)
             # Every shard returns the same merged top-k; take shard 0's.
             packed = np.asarray(packed)[0]                # one D2H sync
-            return unpack_query_out(packed[:k], R or K_pad)
+            return unpack_query_out(packed[:k], K_emit if R else K_stage)
 
         full_ladder = probe_ladder(V, self.probe_width)
         start = min(self._tier_hint, len(full_ladder) - 1)
@@ -480,12 +487,13 @@ class ShardedLOPQIndex:
         if start and self._wave_i % 32 == 0:
             start = 0  # periodic re-probe lets the hint shift back down
         rows_b, dists_b, ncells_b, frac_short = escalate_probe(
-            run_tier, full_ladder[start:], nq, quota, nb, R or K_pad)
+            run_tier, full_ladder[start:], nq, quota, nb,
+            K_emit if R else K_stage)
         if frac_short > 0.9 and start + 1 < len(full_ladder):
             self._tier_hint = max(self._tier_hint, start + 1)
         elif frac_short < 0.1:
             self._tier_hint = start
-        K_out = min(R, K) if R else K
+        K_out = min(K, K_emit) if R else K
         out = []
         for i in range(nq):
             pairs = []

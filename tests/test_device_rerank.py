@@ -239,3 +239,31 @@ def test_rerank_depth_decoupled_from_output_limit(setup):
                                            want_ids)):
                 if a != b:  # float-tie swaps only
                     assert abs(got_d[i] - want_d[i]) < 1e-4
+
+
+def test_sharded_rerank_depth_decoupled():
+    """Mesh path: limit < rerank_nb emits only ~limit rows after the
+    mesh-wide exact re-sort; equals the truncated full-depth results."""
+    from columbiaimagesearch_tpu.parallel.sharded import ShardedLOPQIndex
+
+    rng = np.random.RandomState(11)
+    V, M, S, D = 16, 4, 16, 32
+    params = random_params(rng, V=V, M=M, S=S, D=D)
+    model = LOPQModel(parameters=params)
+    n = 2000
+    X = rng.randn(n, D).astype(np.float32)
+    coarse, fine = model.predict_batch(X)
+    ids = [f"sd_{i}" for i in range(n)]
+    idx = ShardedLOPQIndex(model)
+    idx.build(coarse, fine, ids, feats=X)
+    q = X[321]
+    full = idx.search_batch(q[None], quota=400, limit=80, rerank_nb=80)
+    small = idx.search_batch(q[None], quota=400, limit=8, rerank_nb=80)
+    pairs_f, _ = full[0]
+    pairs_s, _ = small[0]
+    assert len(pairs_s) == 8
+    assert [p[0] for p in pairs_s] == [p[0] for p in pairs_f][:8]
+    np.testing.assert_allclose([p[1] for p in pairs_s],
+                               [p[1] for p in pairs_f][:8],
+                               rtol=1e-5, atol=1e-6)
+    assert pairs_s[0][0] == ids[321]
