@@ -134,11 +134,17 @@ inline double lanczos3(double x) {
 }
 
 struct Weights {
-  int n;                       // taps per output pixel
+  int n;                       // max taps per output pixel
   std::vector<int> start;      // first input index per output pixel
-  std::vector<double> w;       // [out_size, n] weights
+  std::vector<int> count;      // live taps per output pixel
+  std::vector<float> w;        // [out_size, n] weights
 };
 
+// Weights are computed in double (PIL does the kernel math in double
+// before quantizing to its int16 fixed point) then stored as float: the
+// hot accumulation loops run in float, which auto-vectorizes 2x wider
+// than the former double version and stays far inside the PIL-rounding
+// tolerance (weights are exact to ~1e-7; pixel error << 1 LSB).
 Weights precompute_weights(int in_size, int out_size) {
   Weights ws;
   double scale = double(in_size) / out_size;
@@ -146,80 +152,73 @@ Weights precompute_weights(int in_size, int out_size) {
   double support = 3.0 * filterscale;
   ws.n = int(std::ceil(support)) * 2 + 1;
   ws.start.resize(out_size);
-  ws.w.assign(size_t(out_size) * ws.n, 0.0);
+  ws.count.resize(out_size);
+  ws.w.assign(size_t(out_size) * ws.n, 0.0f);
   for (int xx = 0; xx < out_size; xx++) {
     double center = (xx + 0.5) * scale;
     int xmin = std::max(0, int(center - support + 0.5));
     int xmax = std::min(in_size, int(center + support + 0.5));
     ws.start[xx] = xmin;
+    ws.count[xx] = xmax - xmin;
     double sum = 0.0;
+    std::vector<double> tap(xmax - xmin);
     for (int x = xmin; x < xmax; x++) {
-      double wv = lanczos3((x - center + 0.5) / filterscale);
-      ws.w[size_t(xx) * ws.n + (x - xmin)] = wv;
-      sum += wv;
+      tap[x - xmin] = lanczos3((x - center + 0.5) / filterscale);
+      sum += tap[x - xmin];
     }
-    if (sum != 0.0) {
-      for (int k = 0; k < xmax - xmin; k++) {
-        ws.w[size_t(xx) * ws.n + k] /= sum;
-      }
+    for (int k = 0; k < xmax - xmin; k++) {
+      ws.w[size_t(xx) * ws.n + k] =
+          float(sum != 0.0 ? tap[k] / sum : tap[k]);
     }
   }
   return ws;
 }
 
-inline uint8_t clamp8(double v) {
-  return uint8_t(std::min(255.0, std::max(0.0, v + 0.5)));
+inline uint8_t clamp8(float v) {
+  return uint8_t(std::min(255.0f, std::max(0.0f, v + 0.5f)));
 }
 
-// Separable resize to target x target RGB.
+// Separable resize to target x target RGB. Horizontal pass writes float
+// rows [in.h, target*3]; the vertical pass is a contiguous row-AXPY over
+// those rows (unit stride across the full 3*target floats -> the
+// compiler vectorizes it), finishing with one clamp/store sweep.
 void resize_lanczos(const Image& in, int target, uint8_t* out) {
   Weights wx = precompute_weights(in.w, target);
   Weights wy = precompute_weights(in.h, target);
-  // Horizontal pass: [in.h, target, 3] doubles.
-  std::vector<double> tmp(size_t(in.h) * target * 3);
+  const int row_f = target * 3;
+  std::vector<float> tmp(size_t(in.h) * row_f);
   for (int y = 0; y < in.h; y++) {
     const uint8_t* row = in.rgb.data() + size_t(y) * in.w * 3;
-    double* trow = tmp.data() + size_t(y) * target * 3;
+    float* trow = tmp.data() + size_t(y) * row_f;
     for (int xx = 0; xx < target; xx++) {
-      double acc[3] = {0, 0, 0};
-      int x0 = wx.start[xx];
-      const double* wrow = wx.w.data() + size_t(xx) * wx.n;
-      for (int k = 0; k < wx.n; k++) {
-        int x = x0 + k;
-        if (x >= in.w) break;
-        double wv = wrow[k];
-        if (wv == 0.0) continue;
-        const uint8_t* p = row + size_t(x) * 3;
-        acc[0] += wv * p[0];
-        acc[1] += wv * p[1];
-        acc[2] += wv * p[2];
+      float a0 = 0.f, a1 = 0.f, a2 = 0.f;
+      const int x0 = wx.start[xx], cnt = wx.count[xx];
+      const float* wrow = wx.w.data() + size_t(xx) * wx.n;
+      const uint8_t* p = row + size_t(x0) * 3;
+      for (int k = 0; k < cnt; k++, p += 3) {
+        const float wv = wrow[k];
+        a0 += wv * p[0];
+        a1 += wv * p[1];
+        a2 += wv * p[2];
       }
-      trow[size_t(xx) * 3 + 0] = acc[0];
-      trow[size_t(xx) * 3 + 1] = acc[1];
-      trow[size_t(xx) * 3 + 2] = acc[2];
+      trow[size_t(xx) * 3 + 0] = a0;
+      trow[size_t(xx) * 3 + 1] = a1;
+      trow[size_t(xx) * 3 + 2] = a2;
     }
   }
-  // Vertical pass.
+  // Vertical pass: acc[0:3*target] += w_k * tmp_row(y0+k) — contiguous.
+  std::vector<float> acc(row_f);
   for (int yy = 0; yy < target; yy++) {
-    int y0 = wy.start[yy];
-    const double* wcol = wy.w.data() + size_t(yy) * wy.n;
-    uint8_t* orow = out + size_t(yy) * target * 3;
-    for (int xx = 0; xx < target; xx++) {
-      double acc[3] = {0, 0, 0};
-      for (int k = 0; k < wy.n; k++) {
-        int y = y0 + k;
-        if (y >= in.h) break;
-        double wv = wcol[k];
-        if (wv == 0.0) continue;
-        const double* p = tmp.data() + (size_t(y) * target + xx) * 3;
-        acc[0] += wv * p[0];
-        acc[1] += wv * p[1];
-        acc[2] += wv * p[2];
-      }
-      orow[size_t(xx) * 3 + 0] = clamp8(acc[0]);
-      orow[size_t(xx) * 3 + 1] = clamp8(acc[1]);
-      orow[size_t(xx) * 3 + 2] = clamp8(acc[2]);
+    const int y0 = wy.start[yy], cnt = wy.count[yy];
+    const float* wcol = wy.w.data() + size_t(yy) * wy.n;
+    std::fill(acc.begin(), acc.end(), 0.f);
+    for (int k = 0; k < cnt; k++) {
+      const float wv = wcol[k];
+      const float* p = tmp.data() + size_t(y0 + k) * row_f;
+      for (int j = 0; j < row_f; j++) acc[j] += wv * p[j];
     }
+    uint8_t* orow = out + size_t(yy) * row_f;
+    for (int j = 0; j < row_f; j++) orow[j] = clamp8(acc[j]);
   }
 }
 
