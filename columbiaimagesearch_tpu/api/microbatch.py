@@ -59,14 +59,18 @@ class MicroBatcher:
 
     def submit(self, item):
         """Block until the batch containing ``item`` completes; return its
-        result (or raise its error)."""
+        result (or raise its error). Fails fast instead of parking forever
+        if the worker thread has died (e.g. a BaseException escaped
+        batch_fn)."""
         slot = _Slot(item)
         with self._wake:
-            if self._closed:
+            if self._closed or not self._worker.is_alive():
                 raise RuntimeError("MicroBatcher is closed")
             self._slots.append(slot)
             self._wake.notify()
-        slot.event.wait()
+        while not slot.event.wait(timeout=5.0):
+            if not self._worker.is_alive():
+                raise RuntimeError("MicroBatcher worker died")
         if slot.error is not None:
             raise slot.error
         return slot.result
@@ -98,6 +102,20 @@ class MicroBatcher:
             return batch
 
     def _run(self):
+        try:
+            self._run_inner()
+        finally:
+            # A BaseException escaping batch_fn kills the worker; mark
+            # closed and release any parked submitters so the serving
+            # tier fails fast instead of hanging (see submit()).
+            with self._wake:
+                self._closed = True
+                pending, self._slots = self._slots, []
+            for s in pending:
+                s.error = RuntimeError("MicroBatcher worker died")
+                s.event.set()
+
+    def _run_inner(self):
         while True:
             batch = self._take_batch()
             if not batch:

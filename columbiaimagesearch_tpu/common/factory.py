@@ -88,6 +88,12 @@ def build_searcher(conf, prefix="SEARCHLOPQ_", indexer=None, storer=None):
         # makes `reranking: true` (the reference release config) run fused
         # on device instead of detouring through the indexer.
         store_rerank_feats=bool(r.get_param("store_rerank_feats", False)),
+        # Cross-request micro-batching window (ms); None/absent = off
+        # (api/microbatch.py).
+        coalesce_window_ms=(
+            float(r.get_param("coalesce_window_ms"))
+            if r.get_param("coalesce_window_ms") is not None else None),
+        coalesce_max_batch=int(r.get_param("coalesce_max_batch", 32)),
         indexer=indexer, storer=storer,
         verbose=int(r.get_param("verbose", 0)))
 
@@ -221,6 +227,8 @@ def generate_conf_searcher(env=None):
         "nb_train_pca": "SEARCHLOPQ_nb_train_pca",
         "reranking": "SEARCHLOPQ_reranking",
         "store_rerank_feats": "SEARCHLOPQ_store_rerank_feats",
+        "coalesce_window_ms": "SEARCHLOPQ_coalesce_window_ms",
+        "coalesce_max_batch": "SEARCHLOPQ_coalesce_max_batch",
         "extr_type": "SEARCHLOPQ_featurizer_type",
         "input_type": "SEARCHLOPQ_input_type",
         "storer_type": "ST_storer_type",

@@ -48,7 +48,7 @@ def _codes_to_arrays(codes, ids, V, S):
     return coarse, fine, ids_arr
 
 
-def _query_geometry(quota, limit, nb, rerank_nb):
+def _query_geometry(quota, limit, nb, rerank_nb, Q=None):
     """Shared device-query shape math for the single-chip paths.
 
     ``limit`` is the OUTPUT size the caller consumes; ``rerank_nb`` the
@@ -62,7 +62,8 @@ def _query_geometry(quota, limit, nb, rerank_nb):
         K_emit packed rows per query)
     """
     K = min(limit if limit is not None else quota, nb)
-    Q = min(round_up(int(quota) + 1024, 1024), round_up(nb, 256))
+    if Q is None:
+        Q = min(round_up(int(quota) + 1024, 1024), round_up(nb, 256))
     if rerank_nb:
         K_stage = min(round_up(max(K, int(rerank_nb)), 16), Q)
         R = min(int(rerank_nb), K_stage)
@@ -318,6 +319,14 @@ class LOPQSearcherTPU(LOPQSearcherBase):
         if not self._dirty:
             return
         V = self.model.V
+        if V > 46340:
+            # Cell ids c0*V + c1 live in int32 buffers (and V*V is the
+            # empty-slot sentinel); past floor(sqrt(2^31-1)) they would
+            # wrap silently. The reference caps far below this too (its
+            # production V is 4096).
+            raise ValueError(
+                f"V={V}: cell ids (V^2) exceed int32; max supported V "
+                "is 46340")
         if self._pending:
             cells_new = np.concatenate([p[0] for p in self._pending])
             fine_new = np.concatenate([p[1] for p in self._pending])
@@ -729,16 +738,11 @@ class LOPQSearcherTPU(LOPQSearcherBase):
         K, Q, K_stage, R, K_emit = _query_geometry(quota, limit, nb,
                                                    rerank_nb)
         xd = jnp.asarray(np.asarray(x, dtype=np.float32))
-
-        full_ladder = self._probe_ladder()
-        start = min(self._tier_hint, len(full_ladder) - 1)
-        self._wave_i += 1
-        if start and self._wave_i % self.REPROBE_EVERY == 0:
-            start = 0
-        ladder = full_ladder[start:]
-        quota_eff = min(int(quota), nb)
         cs = d["cells_sorted"] if d.get("cell_start") is None else None
-        for ti, B in enumerate(ladder):
+
+        def run_tier(idx, B):
+            # n=1 wave; the shared _escalate driver owns the ladder walk
+            # and the tier-hint hysteresis (one policy, three callers).
             if R:
                 out_d = lopq_query_rerank(
                     xd, d["feats"], d["Cs"], d["Rs"], d["mus"], d["subs"],
@@ -754,16 +758,13 @@ class LOPQSearcherTPU(LOPQSearcherBase):
                 pack_query_out(*out_d))             # one D2H sync per tier
             rows, dists, total, n_cells, ok = unpack_query_out(
                 packed, K_emit)
-            ok_here = int(total) >= quota_eff and int(ok)
-            if ti == 0:  # tier-hint hysteresis (see _escalate)
-                if not ok_here and start + 1 < len(full_ladder):
-                    self._tier_hint = max(self._tier_hint, start + 1)
-                elif ok_here:
-                    self._tier_hint = start
-            if ti + 1 == len(ladder) or ok_here:
-                break
+            return (rows[None], dists[None], np.asarray([total]),
+                    np.asarray([n_cells]), np.asarray([ok]))
+
+        rows_b, dists_b, ncells_b = self._escalate(
+            run_tier, 1, quota, nb, K_emit)
         K_out = min(K, K_emit)
-        return (self._rows_to_results(rows[:K_out], dists[:K_out],
+        return (self._rows_to_results(rows_b[0][:K_out], dists_b[0][:K_out],
                                       with_dists, ids_arr, cells_arr,
                                       fine_arr),
-                int(n_cells))
+                int(ncells_b[0]))

@@ -80,6 +80,10 @@ def dp_encode(mesh, Cs, Rs, mus, subs, X, chunk: int = 2048):
 
 
 class ShardedLOPQIndex:
+    #: tier-hint hysteresis period — same policy (and same tunable) as
+    #: LOPQSearcherTPU.REPROBE_EVERY.
+    REPROBE_EVERY = 32
+
     """Row-sharded CSR multi-index over a device mesh, with device-side
     incremental append.
 
@@ -448,21 +452,20 @@ class ShardedLOPQIndex:
         if nb == 0:
             return [([], 0)] * nq
 
+        from columbiaimagesearch_tpu.index.searcher import _query_geometry
+
         V = self.model.V
-        K = min(limit if limit is not None else quota, max(nb, 1))
-        Q = min(round_up(int(quota * 1.5) + 256, 1024),
-                round_up(max(self._cap_per, 256), 256))
-        if rerank_nb:
-            if self._dev.get("feats") is None:
-                raise ValueError(
-                    "rerank_nb requires a resident feature store "
-                    "(append(..., feats=...) for every append)")
-            K_stage = min(round_up(max(K, int(rerank_nb)), 16), Q)
-            R = min(int(rerank_nb), K_stage)
-            K_emit = min(round_up(K, 16), R)
-        else:
-            K_stage = min(round_up(K, 16), Q)
-            R, K_emit = 0, min(round_up(K, 16), Q)
+        if rerank_nb and self._dev.get("feats") is None:
+            raise ValueError(
+                "rerank_nb requires a resident feature store "
+                "(append(..., feats=...) for every append)")
+        # Same geometry as the single-chip paths, with the per-shard
+        # candidate budget: each shard scans its own CSR slice, so Q
+        # scales with the shard capacity, not the global index size.
+        Q_shard = min(round_up(int(quota * 1.5) + 256, 1024),
+                      round_up(max(self._cap_per, 256), 256))
+        K, Q, K_stage, R, K_emit = _query_geometry(
+            quota, limit, max(nb, 1), rerank_nb, Q=Q_shard)
 
         d = self._dev          # snapshot (swapped atomically on refresh)
         ids_snap = self._ids
@@ -484,7 +487,7 @@ class ShardedLOPQIndex:
         full_ladder = probe_ladder(V, self.probe_width)
         start = min(self._tier_hint, len(full_ladder) - 1)
         self._wave_i += 1
-        if start and self._wave_i % 32 == 0:
+        if start and self._wave_i % self.REPROBE_EVERY == 0:
             start = 0  # periodic re-probe lets the hint shift back down
         rows_b, dists_b, ncells_b, frac_short = escalate_probe(
             run_tier, full_ladder[start:], nq, quota, nb,

@@ -203,6 +203,36 @@ class SearcherLOPQ(GenericSearcher):
                      if isinstance(self.model, LOPQModelPCA) else data)
         return codes, sids, coarse, fine, feats_idx
 
+    def _add_codes_dict(self, codes):
+        """Add a cached codes dict, preserving the device rerank store
+        when possible: with ``store_rerank_feats`` on, try to fetch the
+        index-space features for the dict's ids first — a featureless add
+        would irreversibly drop the whole store (LOPQSearcherTPU keeps it
+        only while every indexed row has a feature)."""
+        if (self.store_rerank_feats and self.indexer is not None
+                and getattr(self.searcher, "has_rerank_feats", False)):
+            sids_want = list(codes.keys())
+            try:
+                sids, feats = self.indexer.get_features_from_sha1s(
+                    sids_want, self.build_extr_str(), self.featurizer_type)
+            except Exception:
+                sids, feats = [], []
+            if sids and len(sids) == len(sids_want):
+                data = np.vstack(feats).astype(np.float32)
+                feats_idx = (self.model.apply_PCA(data)
+                             if isinstance(self.model, LOPQModelPCA)
+                             else data)
+                coarse = np.asarray([codes[s][0] for s in sids])
+                fine = np.asarray([codes[s][1] for s in sids])
+                self.searcher.add_codes((coarse, fine), sids,
+                                        feats=feats_idx)
+                return
+            print(f"[{self.pp}: warning] cached-codes add without "
+                  f"features drops the device rerank store "
+                  f"({len(sids)}/{len(sids_want)} features recoverable); "
+                  "reranking falls back to the indexer path")
+        self.searcher.add_codes_from_dict(codes)
+
     def load_codes(self, start_date=START_DATE):
         """Incrementally index new updates
         (reference: searcher_lopqhbase.py:655-770)."""
@@ -229,8 +259,13 @@ class SearcherLOPQ(GenericSearcher):
                         self.searcher.add_codes((coarse, fine), sids,
                                                 feats=feats_idx)
                         added += len(sids)
-                    self.indexed_updates.add(update_id)
-                    continue
+                        self.indexed_updates.add(update_id)
+                        continue
+                    # Features unfetchable: fall through to the cached-
+                    # codes path below so the rows still get indexed
+                    # (a featureless add may drop the device rerank
+                    # store — _add_codes_dict tries to recover the
+                    # features from the indexer first).
                 codes = (self.storer.load(self._codes_key(update_id))
                          if self.storer is not None else None)
                 if not codes:
@@ -238,7 +273,7 @@ class SearcherLOPQ(GenericSearcher):
                         continue
                     codes = self.compute_codes(update_id, sha1s.split(","))
                 if codes:
-                    self.searcher.add_codes_from_dict(codes)
+                    self._add_codes_dict(codes)
                     added += len(codes)
                 self.indexed_updates.add(update_id)
         if added and self.storer is not None:

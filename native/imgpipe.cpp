@@ -69,15 +69,23 @@ bool decode_jpeg(const uint8_t* buf, size_t len, Image* out,
   cinfo.out_color_space = JCS_RGB;
   if (min_dim > 0) {
     const long base = std::min(cinfo.image_width, cinfo.image_height);
-    int num = 8;
-    for (int s = 1; s <= 8; s++) {
-      if (base * s >= long(min_dim) * 8) {
-        num = s;
+    // Pick the smallest M/8 whose short side covers min_dim, then verify
+    // with jpeg_calc_output_dimensions that the library honors it:
+    // classic (non-turbo) libjpeg rounds unsupported ratios (only
+    // 1/1, 1/2, 1/4, 1/8), which could silently land BELOW the target
+    // and force a Lanczos upscale. Bump until the realized output
+    // covers min_dim (num = 8 always does).
+    for (int num = 1; num <= 8; num++) {
+      if (base * num < long(min_dim) * 8 && num < 8) continue;
+      cinfo.scale_num = num;
+      cinfo.scale_denom = 8;
+      jpeg_calc_output_dimensions(&cinfo);
+      if (std::min(cinfo.output_width, cinfo.output_height) >=
+              JDIMENSION(std::min<long>(min_dim, base)) ||
+          num == 8) {
         break;
       }
     }
-    cinfo.scale_num = num;
-    cinfo.scale_denom = 8;
   }
   jpeg_start_decompress(&cinfo);
   out->w = cinfo.output_width;

@@ -133,7 +133,8 @@ def main():
     @jax.jit
     def chunk_nn(qd, Xc):
         d = (jnp.sum(Xc * Xc, 1)[None, :]
-             - 2.0 * jnp.dot(qd, Xc.T, preferred_element_type=jnp.float32))
+             - 2.0 * jnp.dot(qd, Xc.T, preferred_element_type=jnp.float32,
+                             precision="highest"))
         i = jnp.argmin(d, axis=1)
         dmin = jnp.take_along_axis(d, i[:, None], axis=1)[:, 0]
         return dmin, i

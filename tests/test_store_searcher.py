@@ -213,3 +213,90 @@ def test_store_rerank_feats_e2e():
         np.testing.assert_allclose(
             d, np.linalg.norm(feats[row] - feats[qi]), rtol=1e-3,
             atol=1e-4)
+
+
+def test_cached_codes_update_keeps_rerank_store():
+    """A later update served from storer-cached codes (no listsha1s
+    column) must NOT silently drop the device rerank store when the
+    features are still fetchable from the indexer (round-3 review
+    finding: a single featureless add_codes_from_dict irreversibly
+    disabled fused rerank for the whole index)."""
+    rng = np.random.RandomState(6)
+    kv, feats, sha1s = make_indexer(rng, n_imgs=400)
+    storer = MemoryStorer()
+    searcher = SearcherLOPQ(
+        model_type="lopq", V=8, M=4, subquantizer_clusters=32,
+        nb_train=400, nb_min_train=100, train_at_init=True,
+        detector_type="full", featurizer_type="sentibank",
+        input_type="image", skip_get_sim_info=True,
+        indexer=kv, storer=storer, reranking=True, rerank_nb=50,
+        store_rerank_feats=True)
+    assert searcher.searcher.has_rerank_feats
+    n0 = searcher.get_nb_indexed()
+
+    # Simulate an update row whose codes live in the storer cache but
+    # whose listsha1s column is gone (the reference tolerates partial
+    # update rows; cached codes are the recovery path).
+    extra_sha1s = [f"{i:040X}" for i in range(400, 432)]
+    extr = "sentibank_feat_full_image"
+    new_feats = rng.randn(32, feats.shape[1]).astype(np.float32)
+    new_feats /= np.linalg.norm(new_feats, axis=1, keepdims=True)
+    rows = {}
+    for i, s in enumerate(extra_sha1s):
+        rows[s] = {f"ext:{extr}": normfeatB64encode(new_feats[i]),
+                   f"ext:{extr}_processed": "1"}
+    kv.push_dict_rows(rows, kv.table_sha1infos_name)
+    update_id, _ = kv.get_next_update_id(extr_type=extr)
+    co, fi = searcher.model.predict_batch(new_feats)
+    codes = {s: (tuple(int(c) for c in co[i]), tuple(int(f) for f in fi[i]))
+             for i, s in enumerate(extra_sha1s)}
+    storer.save(searcher._codes_key(update_id), codes)
+    kv.push_dict_rows({update_id: {kv.get_col_upcreate(): "now"}},
+                      kv.table_updateinfos_name)
+
+    added = searcher.load_codes()
+    assert added == 32
+    assert searcher.get_nb_indexed() == n0 + 32
+    # feature store survived: features were recovered from the indexer
+    assert searcher.searcher.has_rerank_feats
+
+
+def test_unfetchable_features_fall_back_to_cached_codes():
+    """An update whose features are no longer fetchable must still index
+    its rows from the storer-cached codes instead of marking the update
+    indexed with zero rows (round-3 review finding)."""
+    rng = np.random.RandomState(7)
+    kv, feats, sha1s = make_indexer(rng, n_imgs=400)
+    storer = MemoryStorer()
+    searcher = SearcherLOPQ(
+        model_type="lopq", V=8, M=4, subquantizer_clusters=32,
+        nb_train=400, nb_min_train=100, train_at_init=True,
+        detector_type="full", featurizer_type="sentibank",
+        input_type="image", skip_get_sim_info=True,
+        indexer=kv, storer=storer, reranking=True, rerank_nb=50,
+        store_rerank_feats=True)
+    n0 = searcher.get_nb_indexed()
+
+    # Update row WITH a sha1 list, but the sha1s have no stored features
+    # (e.g. purged after codes were computed) — only cached codes exist.
+    ghost_sha1s = [f"{i:040X}" for i in range(500, 516)]
+    extr = "sentibank_feat_full_image"
+    ghost_feats = rng.randn(16, feats.shape[1]).astype(np.float32)
+    co, fi = searcher.model.predict_batch(ghost_feats)
+    codes = {s: (tuple(int(c) for c in co[i]), tuple(int(f) for f in fi[i]))
+             for i, s in enumerate(ghost_sha1s)}
+    update_id, _ = kv.get_next_update_id(extr_type=extr)
+    storer.save(searcher._codes_key(update_id), codes)
+    kv.push_dict_rows(
+        {update_id: {kv.get_col_listsha1s(): ",".join(ghost_sha1s),
+                     kv.get_col_upcreate(): "now"}},
+        kv.table_updateinfos_name)
+
+    added = searcher.load_codes()
+    assert added == 16  # rows recovered from the cache, not lost
+    assert searcher.get_nb_indexed() == n0 + 16
+    # queries still work (featureless add dropped the store; the search
+    # path must have fallen back cleanly)
+    out = searcher.search_from_feats(
+        [(sha1s[3], None)], [feats[3]], {"max_returned": 3})
+    assert out["AllSimilarImages"][0]["SimilarImages"]["ImageSha1s"]
