@@ -246,3 +246,32 @@ def test_detector_negatives_no_face(shipped_detector):
     for name, img in negatives.items():
         ds = shipped_detector.detect_from_img(img, up_sample=0)
         assert not ds, f"negative '{name}' produced {len(ds)} detections"
+
+
+def test_detector_negatives_real_photos(shipped_detector):
+    """Face-free REAL photographs (natural texture statistics, unlike the
+    synthetic negatives above): outdoor scenes from the pygame docs and
+    sklearn's sample images. None ship a face; the shipped threshold must
+    produce zero detections on all of them."""
+    import glob
+    import os
+
+    candidates = []
+    for pat in (
+        "/opt/venv/lib/python3.12/site-packages/pygame/docs/generated"
+        "/_images/camera_rgb.jpg",
+        "/opt/venv/lib/python3.12/site-packages/pygame/docs/generated"
+        "/_images/intro_freedom.jpg",
+        "/opt/venv/lib/python3.12/site-packages/sklearn/datasets/images"
+        "/china.jpg",
+        "/opt/venv/lib/python3.12/site-packages/sklearn/datasets/images"
+        "/flower.jpg",
+    ):
+        candidates.extend(glob.glob(pat))
+    if not candidates:
+        pytest.skip("no bundled sample photos on this system")
+    for path in candidates:
+        img = np.asarray(Image.open(path).convert("RGB"))
+        ds = shipped_detector.detect_from_img(img, up_sample=0)
+        assert not ds, (f"real-photo negative {os.path.basename(path)} "
+                        f"produced {len(ds)} detections")
