@@ -424,6 +424,18 @@ def bench_serving(args, n_threads=4, reqs_per_thread=10):
 
     log(f"[{time.time()-t0:.0f}s] warm-up request (compiles)")
     query(b64s[0])
+    if args.coalesce:
+        # Prime the wave-size buckets the coalescer will hit (1 already
+        # warmed above; bursts of n_threads warm the 2/4/... buckets) so
+        # the measurement isn't contaminated by 30-300 s relay compiles.
+        for _ in range(2):
+            ws = [threading.Thread(target=query, args=(b64s[i],))
+                  for i in range(n_threads)]
+            for t in ws:
+                t.start()
+            for t in ws:
+                t.join()
+        log(f"[{time.time()-t0:.0f}s] coalesce buckets warmed")
 
     lat = []
     lock = threading.Lock()
