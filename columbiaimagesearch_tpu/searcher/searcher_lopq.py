@@ -458,43 +458,86 @@ class SearcherLOPQ(GenericSearcher):
         same-parameter request in the batch, then per-request output
         assembly (so batch-wide counters in the response stay per-request
         correct). Called by ``GenericSearcher._serve_batch`` when request
-        coalescing is on; detector-path requests fall back per-request.
+        coalescing is on. Face-path requests coalesce too: every
+        (image, face) pair across the bundle rides one wave.
 
         :param requests: list of (dets, feats, options_dict)
         :returns: one formatted output dict per request, in order
         """
-        if self.detector is not None:
-            return [self.search_from_feats(d, f, o) for d, f, o in requests]
+        detector = self.detector is not None
         groups = {}
         for ri, (_, _, options) in enumerate(requests):
-            groups.setdefault(self._query_params(options), []).append(ri)
+            key = (self._query_params(options),
+                   bool(options.get("detect_only")) if detector else False)
+            groups.setdefault(key, []).append(ri)
         answers_by_req = {}
-        for params, rids in groups.items():
+        for (params, detect_only), rids in groups.items():
             (quota, max_returned, reranking, rerank_nb,
              filter_near_dup, near_dup_th) = params
             wave, spans = [], []
             for ri in rids:
+                dets, feats, _ = requests[ri]
                 start = len(wave)
-                if self.searcher is not None:
-                    wave.extend(requests[ri][1])
+                if self.searcher is not None and not detect_only:
+                    if detector:
+                        coords = [(i, j) for i in range(len(dets))
+                                  for j in range(len(dets[i][1]))]
+                        wave.extend(feats[i][j] for i, j in coords)
+                        spans.append((start, coords))
+                        continue
+                    wave.extend(feats)
                 spans.append((start, len(wave)))
             answers = self._search_many(wave, quota, max_returned,
                                         reranking, rerank_nb,
                                         filter_near_dup, near_dup_th,
-                                        split_ids=False)
-            for ri, (s, e) in zip(rids, spans):
-                answers_by_req[ri] = answers[s:e]
+                                        split_ids=detector)
+            for ri, span in zip(rids, spans):
+                if detector and isinstance(span[1], list):
+                    start, coords = span
+                    answers_by_req[ri] = dict(
+                        zip(coords, answers[start:start + len(coords)]))
+                elif detector:
+                    answers_by_req[ri] = {}
+                else:
+                    answers_by_req[ri] = answers[span[0]:span[1]]
+        if detector:
+            return [self._assemble_faces(dets, feats,
+                                         answers_by_req[ri], options)
+                    for ri, (dets, feats, options) in enumerate(requests)]
         return [self._assemble_simple(dets, feats, answers_by_req[ri],
                                       options)
                 for ri, (dets, feats, options) in enumerate(requests)]
+
+    def _assemble_faces(self, dets, feats, answers, options_dict):
+        """Face-path answers (dict keyed (image_idx, face_idx)) ->
+        formatted output (one request)."""
+        del feats
+        all_sim_images, all_sim_dets, all_sim_score = [], [], []
+        for i in range(len(dets)):
+            sim_images, sim_dets, sim_score = [], [], []
+            for j in range(len(dets[i][1])):
+                if (i, j) not in answers:
+                    sim_images.append([])
+                    sim_dets.append([])
+                    sim_score.append([])
+                    continue
+                ids, dd, _ = answers[(i, j)]
+                img_sha1s = [str(r).split("_")[0] for r in ids]
+                sim_images.append(self._info_rows(img_sha1s))
+                sim_dets.append([str(r) for r in ids])
+                sim_score.append(dd)
+            all_sim_images.append(sim_images)
+            all_sim_dets.append(sim_dets)
+            all_sim_score.append(sim_score)
+        return self.do.format_output(dets, all_sim_images, all_sim_dets,
+                                     all_sim_score, options_dict,
+                                     self.input_type)
 
     def search_from_feats(self, dets, feats, options_dict=None):
         """(reference: searcher_lopqhbase.py:783-1067)"""
         options_dict = options_dict or {}
         (quota, max_returned, reranking, rerank_nb, filter_near_dup,
          near_dup_th) = self._query_params(options_dict)
-
-        all_sim_images, all_sim_dets, all_sim_score = [], [], []
 
         if self.detector is not None:
             # Flatten (image, face) pairs into one wave -> one device launch.
@@ -508,22 +551,7 @@ class SearcherLOPQ(GenericSearcher):
             answers = dict(zip(coords, self._search_many(
                 wave, quota, max_returned, reranking, rerank_nb,
                 filter_near_dup, near_dup_th, split_ids=True)))
-            for i in range(len(dets)):
-                sim_images, sim_dets, sim_score = [], [], []
-                for j in range(len(dets[i][1])):
-                    if (i, j) not in answers:
-                        sim_images.append([])
-                        sim_dets.append([])
-                        sim_score.append([])
-                        continue
-                    ids, dd, _ = answers[(i, j)]
-                    img_sha1s = [str(r).split("_")[0] for r in ids]
-                    sim_images.append(self._info_rows(img_sha1s))
-                    sim_dets.append([str(r) for r in ids])
-                    sim_score.append(dd)
-                all_sim_images.append(sim_images)
-                all_sim_dets.append(sim_dets)
-                all_sim_score.append(sim_score)
+            return self._assemble_faces(dets, feats, answers, options_dict)
         else:
             wave = [feats[i] for i in range(len(feats))
                     if self.searcher is not None]
@@ -531,10 +559,6 @@ class SearcherLOPQ(GenericSearcher):
                 wave, quota, max_returned, reranking, rerank_nb,
                 filter_near_dup, near_dup_th, split_ids=False)
             return self._assemble_simple(dets, feats, answers, options_dict)
-
-        return self.do.format_output(dets, all_sim_images, all_sim_dets,
-                                     all_sim_score, options_dict,
-                                     self.input_type)
 
     # -------------------------------------------------------------- status
 

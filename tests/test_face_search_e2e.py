@@ -127,3 +127,53 @@ def test_face_view_similar_bbox_overlay(face_env):
     code, html2 = api.process("view_similar_byPATH", paths[7],
                               '{"no_blur": true}')
     assert "blur(8px)" not in html2
+
+
+def test_face_coalesced_serving_matches_sequential(face_env):
+    """Face-path request coalescing: concurrent byPATH queries through a
+    coalescing searcher must return the same faces/distances as the
+    sequential searcher — every (image, face) pair across the bundle
+    rides one device wave (search_from_feats_multi detector branch)."""
+    import threading
+
+    searcher, kv, paths, rng = face_env
+    coal = SearcherLOPQ(
+        model_type="lopq", V=4, M=4, subquantizer_clusters=8,
+        model=searcher.model, detector_type="face", featurizer_type="face",
+        input_type="face", detector=searcher.detector,
+        featurizer=searcher.featurizer, indexer=kv, storer=searcher.storer,
+        reranking=True, rerank_nb=50,
+        coalesce_window_ms=60.0, coalesce_max_batch=8)
+    assert coal.get_nb_indexed() == searcher.get_nb_indexed()
+
+    targets = [paths[3], paths[7], paths[11], paths[15]]
+    expected = {p: searcher.search_image_path_list([p], {"max_returned": 3})
+                for p in targets}
+
+    results, errs = {}, []
+    gate = threading.Event()
+
+    def worker(p):
+        gate.wait()
+        try:
+            results[p] = coal.search_image_path_list(
+                [p], {"max_returned": 3})
+        except Exception as inst:  # pragma: no cover
+            errs.append((p, inst))
+
+    threads = [threading.Thread(target=worker, args=(p,)) for p in targets]
+    for t in threads:
+        t.start()
+    gate.set()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errs, errs
+    for p in targets:
+        got = results[p]["AllSimilarFaces"][0]["SimilarFaces"]
+        want = expected[p]["AllSimilarFaces"][0]["SimilarFaces"]
+        assert got["ImageSha1s"] == want["ImageSha1s"], p
+        # wave padding changes float summation order: ids exact,
+        # distances to 1e-6
+        assert got["Distances"] == pytest.approx(want["Distances"],
+                                                 abs=1e-6)
+    assert max(coal.request_batcher.batch_sizes) > 1
