@@ -9,7 +9,13 @@ static-shape XLA program:
 
 1. coarse distances per split (two small matmuls),
 2. top-B clusters per split; the B x B cell grid sorted by approximate
-   distance is the multisequence visitation order,
+   distance is the multisequence visitation order. Wide rungs of the
+   escalation ladder (B*B > 16384) skip the grid sort entirely: the
+   quota-crossing distance threshold is found by exact int-bitcast
+   bisection (31 masked reductions) and the visited-cell SET — which is
+   all the ADC top-K needs — is selected by comparison, turning an
+   O(G log G) per-query sort (1M cells at B=1024) into ~60 streaming
+   passes over the grid,
 3. ragged cell buckets resolved to a fixed candidate budget Q via cumsum +
    a scatter-add bucket map over the CSR ``cell_start`` table,
 4. ADC lookup tables for the 2B probed clusters,
@@ -188,15 +194,26 @@ def lopq_query(
     else:
         out_grid_min = jnp.float32(jnp.inf)  # full grid: restriction-free
 
-    # --- 2. sorted B x B cell grid (multisequence order) -------------------
-    # lax.top_k returns its k results sorted ascending in distance — exactly
-    # the multisequence visitation order — and is markedly cheaper than a
-    # full argsort of the grid on TPU.
+    # --- 2. B x B cell grid in multisequence visit order -------------------
+    G = B * B
     grid = td0[:, None] + td1[None, :]              # [B, B]
     flat = grid.reshape(-1)
-    neg_sorted, order = jax.lax.top_k(-flat, B * B)
-    a_idx, b_idx = order // B, order % B             # slots into i0 / i1
-    cell_ids = i0[a_idx] * V + i1[b_idx]             # [B*B] global cell ids
+    sort_grid = G <= 16384
+    if sort_grid:
+        # lax.top_k returns its k results sorted ascending in distance —
+        # exactly the multisequence visitation order — and is markedly
+        # cheaper than a full argsort of the grid on TPU.
+        neg_sorted, order = jax.lax.top_k(-flat, G)
+        a_idx, b_idx = order // B, order % B         # slots into i0 / i1
+    else:
+        # Wide rungs (escalated probes): a full sort of the grid is
+        # O(G log G) and dominated the escalated serving path (a 1M-cell
+        # sort per query at B=1024). The quota prefix of the visit order
+        # is recovered sort-free below via an exact bit-bisection
+        # threshold; cells stay in flat (row-major) order here.
+        fidx = jnp.arange(G, dtype=jnp.int32)
+        a_idx, b_idx = fidx // B, fidx % B
+    cell_ids = i0[a_idx] * V + i1[b_idx]             # [G] global cell ids
 
     # --- 3. ragged buckets -> fixed Q candidate slots ----------------------
     if cell_start is None:
@@ -219,39 +236,92 @@ def lopq_query(
             + jnp.arange(2, dtype=jnp.int32)[None, :]]          # [B*B, 2]
         starts = bounds[:, 0]
         counts = bounds[:, 1] - starts               # [B*B]
-    csum = jnp.cumsum(counts)
-    # Visit cells in order until the quota is covered; the crossing cell is
-    # included whole (reference get_result_quota semantics).
-    selected = (csum - counts) < quota
-    sel_counts = jnp.where(selected, counts, 0)
-    scs = jnp.cumsum(sel_counts)
-    total = scs[-1]
-    n_cells = jnp.sum(selected.astype(jnp.int32))
-    # grid_ok: the last visited cell is still cheaper than anything the
-    # grid restriction cut off (ties break toward ok, matching the
-    # arbitrary tie order of the reference's heap).
-    d_stop = -neg_sorted[jnp.maximum(n_cells - 1, 0)]
-    grid_ok = d_stop <= out_grid_min
-
     j = jnp.arange(Q, dtype=jnp.int32)
-    # Candidate slot j belongs to the cell whose cumulative range covers j:
-    # b_for_j = #{cells i with scs[i] <= j} (== searchsorted(scs, j, 'right'),
-    # but computed as one scatter-add of cell-end markers + a cumsum — ~25x
-    # faster than the gather-heavy binary search on TPU).
-    markers = jnp.zeros(Q + 1, jnp.int32).at[jnp.minimum(scs, Q)].add(1)
-    b_for_j = jnp.cumsum(markers)[:Q]
-    b_for_j = jnp.minimum(b_for_j, B * B - 1)
-    # Per-cell metadata packed into one row-gatherable table: one [Q, 8]
-    # row gather replaces five [Q]-element scalar gathers.
-    meta = jnp.stack(
-        [scs, sel_counts, starts, a_idx, b_idx,
-         jnp.zeros_like(scs), jnp.zeros_like(scs), jnp.zeros_like(scs)],
-        axis=1)                                       # [B*B, 8]
-    mrow = meta[b_for_j]                              # [Q, 8]
-    bucket_begin = mrow[:, 0] - mrow[:, 1]
-    rows = mrow[:, 2] + (j - bucket_begin)
-    slot0 = mrow[:, 3]                                # [Q] index into lut0
-    slot1 = mrow[:, 4]
+    if sort_grid:
+        csum = jnp.cumsum(counts)
+        # Visit cells in order until the quota is covered; the crossing
+        # cell is included whole (reference get_result_quota semantics).
+        selected = (csum - counts) < quota
+        sel_counts = jnp.where(selected, counts, 0)
+        scs = jnp.cumsum(sel_counts)
+        total = scs[-1]
+        n_cells = jnp.sum(selected.astype(jnp.int32))
+        # grid_ok: the last visited cell is still cheaper than anything the
+        # grid restriction cut off (ties break toward ok, matching the
+        # arbitrary tie order of the reference's heap).
+        d_stop = -neg_sorted[jnp.maximum(n_cells - 1, 0)]
+        # Candidate slot j belongs to the cell whose cumulative range covers
+        # j: b_for_j = #{cells i with scs[i] <= j} (== searchsorted(scs, j,
+        # 'right'), but computed as one scatter-add of cell-end markers + a
+        # cumsum — ~25x faster than the gather-heavy binary search on TPU).
+        markers = jnp.zeros(Q + 1, jnp.int32).at[jnp.minimum(scs, Q)].add(1)
+        b_for_j = jnp.cumsum(markers)[:Q]
+        b_for_j = jnp.minimum(b_for_j, G - 1)
+        # Per-cell metadata packed into one row-gatherable table: one [Q, 8]
+        # row gather replaces five [Q]-element scalar gathers.
+        meta = jnp.stack(
+            [scs, sel_counts, starts, a_idx, b_idx,
+             jnp.zeros_like(scs), jnp.zeros_like(scs), jnp.zeros_like(scs)],
+            axis=1)                                   # [G, 8]
+        mrow = meta[b_for_j]                          # [Q, 8]
+        bucket_begin = mrow[:, 0] - mrow[:, 1]
+        rows = mrow[:, 2] + (j - bucket_begin)
+        slot0 = mrow[:, 3]                            # [Q] index into lut0
+        slot1 = mrow[:, 4]
+    else:
+        # Sort-free quota prefix: theta = the smallest grid distance whose
+        # <=-cumulative candidate count reaches the quota — exactly the
+        # distance of the reference walk's quota-crossing cell
+        # (lopq/lopq/search.py:110-135), with distance ties at theta
+        # included whole (the reference's heap breaks such ties
+        # arbitrarily). Non-negative f32 bit patterns are
+        # order-isomorphic to int32, so 31 masked-sum bisection steps
+        # land exactly on a present distance value.
+        fbits = jax.lax.bitcast_convert_type(flat, jnp.int32)
+        total_grid = jnp.sum(counts)
+        quota_eff = jnp.minimum(quota, total_grid)
+
+        def _bisect(_, lh):
+            lo, hi = lh
+            mid = lo + (hi - lo) // 2
+            ge = jnp.sum(jnp.where(fbits <= mid, counts, 0)) >= quota_eff
+            return jnp.where(ge, lo, mid + 1), jnp.where(ge, mid, hi)
+
+        _, thr = jax.lax.fori_loop(
+            0, 31, _bisect, (jnp.min(fbits), jnp.max(fbits)))
+        interior = fbits < thr    # strictly-cheaper cells: all kept
+        boundary = fbits == thr   # crossing cell + exact-distance ties
+        cnt_int = jnp.where(interior, counts, 0)
+        cnt_bnd = jnp.where(boundary, counts, 0)
+        scs_int = jnp.cumsum(cnt_int)
+        scs_bnd = scs_int[-1] + jnp.cumsum(cnt_bnd)
+        total = scs_bnd[-1]
+        n_cells = jnp.sum((interior | boundary).astype(jnp.int32))
+        d_stop = jax.lax.bitcast_convert_type(thr, jnp.float32)
+        # Slot layout: interior cells first (their cumulative count is
+        # < quota <= Q by construction, so the Q clip can never drop one),
+        # boundary cells after — preserving the sorted path's property
+        # that only crossing-cell members are ever clipped. Cells within
+        # a segment fill in flat order; the set, not the order, feeds the
+        # ADC top-K.
+        markers = (jnp.zeros(Q + 1, jnp.int32)
+                   .at[jnp.minimum(scs_int, Q)].add(1)
+                   .at[jnp.minimum(scs_bnd, Q)].add(1))
+        v_for_j = jnp.cumsum(markers)[:Q]             # virtual cell [0, 2G)
+        v_for_j = jnp.minimum(v_for_j, 2 * G - 1)
+        is_bnd = v_for_j >= G
+        cellv = jnp.where(is_bnd, v_for_j - G, v_for_j)
+        meta = jnp.stack(
+            [scs_int, cnt_int, scs_bnd, cnt_bnd, starts, a_idx, b_idx,
+             jnp.zeros_like(scs_int)], axis=1)        # [G, 8]
+        mrow = meta[cellv]                            # [Q, 8]
+        scs_j = jnp.where(is_bnd, mrow[:, 2], mrow[:, 0])
+        cnt_j = jnp.where(is_bnd, mrow[:, 3], mrow[:, 1])
+        bucket_begin = scs_j - cnt_j
+        rows = mrow[:, 4] + (j - bucket_begin)
+        slot0 = mrow[:, 5]                            # [Q] index into lut0
+        slot1 = mrow[:, 6]
+    grid_ok = d_stop <= out_grid_min
     valid = j < jnp.minimum(total, Q)
     rows = jnp.where(valid, rows, 0)
 
