@@ -285,6 +285,44 @@ def bench_extraction_e2e(args, n_images=512, reps=3):
         log(f"e2e rep {i}: {ok}/{n_images} ok, {ok/dt:.1f} img/s "
             f"({dt:.2f}s)")
     rate = float(np.median(rates))
+
+    # Stage breakdown (stderr only; replicates the featurize_buffers path
+    # with a sync per stage so the bottleneck is attributable — decode is
+    # pure host, upload+preprocess rides the relay's H2D, D2H is the
+    # known-slow direction on this box).
+    import jax
+
+    from columbiaimagesearch_tpu.extraction.featsio import normfeatB64encode
+    from columbiaimagesearch_tpu.models.preprocess import (
+        TARGET,
+        preprocess_device,
+    )
+    from columbiaimagesearch_tpu.native import decode_resize_batch
+
+    fz = extractor.featurizer
+    s = time.perf_counter()
+    stack, _status = decode_resize_batch(bufs, TARGET,
+                                         dct_scale=fz.dct_scale)
+    t_decode = time.perf_counter() - s
+    s = time.perf_counter()
+    x = preprocess_device(stack, jnp.asarray(fz.mean))
+    jax.block_until_ready(x)
+    t_upload = time.perf_counter() - s
+    s = time.perf_counter()
+    f = fz._forward_device(x)
+    jax.block_until_ready(f)
+    t_fwd = time.perf_counter() - s
+    s = time.perf_counter()
+    f_host = np.asarray(f)
+    t_d2h = time.perf_counter() - s
+    s = time.perf_counter()
+    for row in f_host:
+        normfeatB64encode(row.astype(np.float32))
+    t_b64 = time.perf_counter() - s
+    log(f"stage breakdown ({n_images} imgs): decode={t_decode:.2f}s "
+        f"upload+preproc={t_upload:.2f}s forward={t_fwd:.2f}s "
+        f"d2h={t_d2h:.2f}s b64={t_b64:.2f}s "
+        f"sum={t_decode+t_upload+t_fwd+t_d2h+t_b64:.2f}s")
     baseline = 5000.0  # BASELINE.md device-rate north star, for reference
     print(json.dumps({
         "metric": "extraction_e2e_jpeg_to_features",
@@ -422,20 +460,15 @@ def bench_serving(args, n_threads=4, reqs_per_thread=10):
         assert n_res > 0, "no results"
         return dt
 
-    log(f"[{time.time()-t0:.0f}s] warm-up request (compiles)")
+    # Deterministic wave-bucket pre-warm: compiles the forward + query
+    # programs for every bucket the coalescer can form (racy concurrent
+    # warm-up bursts can miss buckets, landing a 30-300 s relay compile
+    # mid-measurement — observed as a 25 s serving p99).
+    log(f"[{time.time()-t0:.0f}s] pre-warming serving wave buckets")
+    warmed = searcher.prewarm_serving(n_threads if args.coalesce else 1)
+    log(f"[{time.time()-t0:.0f}s] warmed buckets {warmed}; "
+        "warm-up request (HTTP layer)")
     query(b64s[0])
-    if args.coalesce:
-        # Prime the wave-size buckets the coalescer will hit (1 already
-        # warmed above; bursts of n_threads warm the 2/4/... buckets) so
-        # the measurement isn't contaminated by 30-300 s relay compiles.
-        for _ in range(2):
-            ws = [threading.Thread(target=query, args=(b64s[i],))
-                  for i in range(n_threads)]
-            for t in ws:
-                t.start()
-            for t in ws:
-                t.join()
-        log(f"[{time.time()-t0:.0f}s] coalesce buckets warmed")
 
     lat = []
     lock = threading.Lock()

@@ -15,7 +15,12 @@ static-shape XLA program:
    bisection (31 masked reductions) and the visited-cell SET — which is
    all the ADC top-K needs — is selected by comparison, turning an
    O(G log G) per-query sort (1M cells at B=1024) into ~60 streaming
-   passes over the grid,
+   passes over the grid. Wide rungs also keep every [G]-sized
+   intermediate FLAT (the narrow path's packed [G, k] gather tables pad
+   their k-wide minor dims to (8, 128) tiles — a 32 GB allocation at
+   B=1024 under a 64-query vmap) and compute candidate distances
+   directly from rotated residuals instead of via LUT + one-hot
+   (stages 4-5 below),
 3. ragged cell buckets resolved to a fixed candidate budget Q via cumsum +
    a scatter-add bucket map over the CSR ``cell_start`` table,
 4. ADC lookup tables for the 2B probed clusters,
@@ -228,7 +233,7 @@ def lopq_query(
         ends = jnp.searchsorted(cells_sorted, cell_ids,
                                 side="right").astype(jnp.int32)
         counts = ends - starts                       # [B*B]
-    else:
+    elif sort_grid:
         # One 2-wide sliced gather for (start, end) per probed cell
         # instead of two scalar gathers from the [V^2+1] offsets table.
         bounds = cell_start[
@@ -236,6 +241,14 @@ def lopq_query(
             + jnp.arange(2, dtype=jnp.int32)[None, :]]          # [B*B, 2]
         starts = bounds[:, 0]
         counts = bounds[:, 1] - starts               # [B*B]
+    else:
+        # Wide rungs keep every [G]-sized intermediate FLAT: a [G, 2]
+        # sliced-gather output materializes with (8, 128) tile padding
+        # in its minor dims, which at B=1024 under a 64-query vmap is a
+        # ~32 GB allocation (observed compile OOM). Two [G] gathers tile
+        # perfectly.
+        starts = cell_start[cell_ids]
+        counts = cell_start[cell_ids + 1] - starts   # [G]
     j = jnp.arange(Q, dtype=jnp.int32)
     if sort_grid:
         csum = jnp.cumsum(counts)
@@ -311,47 +324,22 @@ def lopq_query(
         v_for_j = jnp.minimum(v_for_j, 2 * G - 1)
         is_bnd = v_for_j >= G
         cellv = jnp.where(is_bnd, v_for_j - G, v_for_j)
-        meta = jnp.stack(
-            [scs_int, cnt_int, scs_bnd, cnt_bnd, starts, a_idx, b_idx,
-             jnp.zeros_like(scs_int)], axis=1)        # [G, 8]
-        mrow = meta[cellv]                            # [Q, 8]
-        scs_j = jnp.where(is_bnd, mrow[:, 2], mrow[:, 0])
-        cnt_j = jnp.where(is_bnd, mrow[:, 3], mrow[:, 1])
+        # Flat [Q]-from-[G] gathers only (a packed [G, 8] meta table — the
+        # narrow path's trick — pads its 8-wide minor dim to 128 under TPU
+        # tiling: ~32 GB at B=1024 under a 64-query vmap). A valid slot's
+        # virtual cell has nonzero segment count, which then equals
+        # counts[cell] (interior slot -> interior cell and vice versa).
+        scs_j = jnp.where(is_bnd, scs_bnd[cellv], scs_int[cellv])
+        cnt_j = counts[cellv]
         bucket_begin = scs_j - cnt_j
-        rows = mrow[:, 4] + (j - bucket_begin)
-        slot0 = mrow[:, 5]                            # [Q] index into lut0
-        slot1 = mrow[:, 6]
+        rows = starts[cellv] + (j - bucket_begin)
+        slot0 = cellv // B                            # [Q] probed-rank ids
+        slot1 = cellv % B
     grid_ok = d_stop <= out_grid_min
     valid = j < jnp.minimum(total, Q)
     rows = jnp.where(valid, rows, 0)
 
-    # --- 4. ADC lookup tables for the probed clusters ----------------------
-    # "pallas": per-cluster DMA kernel (fastest single-query path; not
-    # vmap-safe). "stream": rotate residuals for ALL V clusters with one
-    # streaming batched matvec, then gather the B probed [Dh] rows (cheap;
-    # gathering the [Dh, Dh] rotation matrices themselves is pathological
-    # for XLA — see module docstring perf notes). "auto" picks pallas on a
-    # TPU backend, stream elsewhere.
-    if lut_impl == "auto":
-        lut_impl = "pallas" if pallas_compiled_ok() else "stream"
-    if lut_impl == "pallas":
-        lut0, lut1 = build_luts_pallas(
-            x2, jnp.stack([i0, i1]), Cs, Rs, mus, subs,
-            interpret=not pallas_compiled_ok())
-    else:
-
-        def build_lut(s, sel):
-            r = x2[s][None, :] - Cs[s] - mus[s]        # [V, Dh]
-            pr_all = jnp.einsum("vij,vj->vi", Rs[s], r,
-                                precision="highest")   # [V, Dh] local frames
-            prf = pr_all[sel].reshape(B, F, Dsub)
-            diff = prf[:, :, None, :] - subs[s][None, :, :, :]
-            return jnp.sum(diff * diff, axis=-1)       # [B, F, S]
-
-        lut0 = build_lut(0, i0)
-        lut1 = build_lut(1, i1)
-
-    # --- 5. ADC distances + masked top-K -----------------------------------
+    # --- 4+5. per-candidate ADC distances ----------------------------------
     if codes.dtype == jnp.uint32:
         # Packed layout ([N, M/4] uint32): 4x fewer gathered elements; bytes
         # unpacked in-register (little-endian, matching the uint8 bitcast).
@@ -362,24 +350,78 @@ def lopq_query(
     else:
         cand_codes = codes[rows].astype(jnp.int32)    # [Q, M]
 
-    # One-hot MXU contraction per half: P[q, b] = sum_f lut[b, f, code_qf];
-    # the probed-slot column is then selected with a second (tiny) one-hot
-    # multiply-reduce. 0/1 one-hots are exact in bfloat16 and HIGHEST keeps
-    # the f32 table values exact through the MXU.
-    iota_s = jnp.arange(S, dtype=jnp.int32)
-    oh0 = (cand_codes[:, :F, None] == iota_s).reshape(
-        rows.shape[0], F * S).astype(jnp.bfloat16)
-    oh1 = (cand_codes[:, F:, None] == iota_s).reshape(
-        rows.shape[0], F * S).astype(jnp.bfloat16)
-    P0 = jnp.einsum("qk,bk->qb", oh0, lut0.reshape(B, F * S),
-                    precision="highest",
-                    preferred_element_type=jnp.float32)   # [Q, B]
-    P1 = jnp.einsum("qk,bk->qb", oh1, lut1.reshape(B, F * S),
-                    precision="highest",
-                    preferred_element_type=jnp.float32)
-    iota_b = jnp.arange(B, dtype=jnp.int32)
-    dists = (jnp.sum(P0 * (slot0[:, None] == iota_b), axis=1)
-             + jnp.sum(P1 * (slot1[:, None] == iota_b), axis=1))
+    if sort_grid:
+        # ADC lookup tables for the probed clusters. "pallas": per-cluster
+        # DMA kernel (fastest single-query path; not vmap-safe). "stream":
+        # rotate residuals for ALL V clusters with one streaming batched
+        # matvec, then gather the B probed [Dh] rows (cheap; gathering the
+        # [Dh, Dh] rotation matrices themselves is pathological for XLA —
+        # see module docstring perf notes). "auto" picks pallas on a TPU
+        # backend, stream elsewhere.
+        if lut_impl == "auto":
+            lut_impl = "pallas" if pallas_compiled_ok() else "stream"
+        if lut_impl == "pallas":
+            lut0, lut1 = build_luts_pallas(
+                x2, jnp.stack([i0, i1]), Cs, Rs, mus, subs,
+                interpret=not pallas_compiled_ok())
+        else:
+
+            def build_lut(s, sel):
+                r = x2[s][None, :] - Cs[s] - mus[s]    # [V, Dh]
+                pr_all = jnp.einsum("vij,vj->vi", Rs[s], r,
+                                    precision="highest")  # [V, Dh]
+                prf = pr_all[sel].reshape(B, F, Dsub)
+                diff = prf[:, :, None, :] - subs[s][None, :, :, :]
+                return jnp.sum(diff * diff, axis=-1)   # [B, F, S]
+
+            lut0 = build_lut(0, i0)
+            lut1 = build_lut(1, i1)
+
+        # One-hot MXU contraction per half: P[q, b] = sum_f lut[b, f,
+        # code_qf]; the probed-slot column is then selected with a second
+        # (tiny) one-hot multiply-reduce. 0/1 one-hots are exact in
+        # bfloat16 and HIGHEST keeps the f32 table values exact through
+        # the MXU.
+        iota_s = jnp.arange(S, dtype=jnp.int32)
+        oh0 = (cand_codes[:, :F, None] == iota_s).reshape(
+            rows.shape[0], F * S).astype(jnp.bfloat16)
+        oh1 = (cand_codes[:, F:, None] == iota_s).reshape(
+            rows.shape[0], F * S).astype(jnp.bfloat16)
+        P0 = jnp.einsum("qk,bk->qb", oh0, lut0.reshape(B, F * S),
+                        precision="highest",
+                        preferred_element_type=jnp.float32)   # [Q, B]
+        P1 = jnp.einsum("qk,bk->qb", oh1, lut1.reshape(B, F * S),
+                        precision="highest",
+                        preferred_element_type=jnp.float32)
+        iota_b = jnp.arange(B, dtype=jnp.int32)
+        dists = (jnp.sum(P0 * (slot0[:, None] == iota_b), axis=1)
+                 + jnp.sum(P1 * (slot1[:, None] == iota_b), axis=1))
+    else:
+        # Wide rungs: no LUT tables. Building [B, F, S] tables for 2B
+        # probed clusters is mostly wasted at B=1024 (each query reads
+        # ~Q*M of its 2M table entries), and the one-hot route's [Q, B]
+        # products would materialize ~GBs per wave. Instead each
+        # candidate's distance comes straight from its cluster's rotated
+        # residual: one [V, Dh] rotation stream per half ([V, Dh] row
+        # gathers are the cheap kind — module docstring), a [Q, Dh] row
+        # gather, and a fused diff-square-sum per fine split. O(Q*D)
+        # FLOPs, nothing bigger than [Q, Dh] materialized.
+        def half_dists(s, isel, slot, cc):
+            r = x2[s][None, :] - Cs[s] - mus[s]        # [V, Dh]
+            pr_all = jnp.einsum("vij,vj->vi", Rs[s], r,
+                                precision="highest")   # [V, Dh]
+            pr = pr_all[isel[slot]]                    # [Q, Dh]
+            acc = jnp.zeros(rows.shape[0], jnp.float32)
+            for f in range(F):  # static unroll (F = M/2, small)
+                subf = subs[s, f][cc[:, f]]            # [Q, Dsub]
+                prf = jax.lax.dynamic_slice_in_dim(
+                    pr, f * Dsub, Dsub, axis=1)        # [Q, Dsub]
+                diff = prf - subf
+                acc = acc + jnp.sum(diff * diff, axis=1)
+            return acc
+
+        dists = (half_dists(0, i0, slot0, cand_codes[:, :F])
+                 + half_dists(1, i1, slot1, cand_codes[:, F:]))
     dists = jnp.where(valid, dists, jnp.inf)
 
     top_neg, top_idx = jax.lax.top_k(-dists, K)

@@ -261,12 +261,27 @@ class SentibankFeaturizer:
     def featurize_buffers_device(self, buffers):
         """Like :meth:`featurize_buffers` but the features STAY on device
         (jax array) — feed them to ``search_device_feats`` so the serving
-        path never round-trips features through the host."""
+        path never round-trips features through the host.
+
+        The forward is jitted with a static batch dim, and coalesced
+        serving waves arrive at arbitrary sizes — so the pixel batch is
+        zero-padded to the shared wave-bucket set (utils.chunking
+        .wave_bucket; one compiled program per bucket, not per observed
+        size: each fresh compile costs 30-300 s through the dev relay
+        and would otherwise land mid-traffic)."""
+        import jax.numpy as jnp
+
         from columbiaimagesearch_tpu.models.preprocess import preprocess_buffers
+        from columbiaimagesearch_tpu.utils.chunking import wave_bucket
 
         x, status = preprocess_buffers(buffers, self.mean,
                                        dct_scale=self.dct_scale)
-        return self._forward_device(x), status
+        n = x.shape[0]
+        nb = wave_bucket(n)
+        if nb != n:
+            x = jnp.concatenate(
+                [x, jnp.zeros((nb - n,) + x.shape[1:], x.dtype)])
+        return self._forward_device(x)[:n], status
 
     def _forward(self, x):
         return np.asarray(self._forward_device(x))

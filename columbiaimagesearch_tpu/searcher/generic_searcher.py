@@ -220,6 +220,52 @@ class GenericSearcher:
                 and (not rerank_req
                      or getattr(backend, "has_rerank_feats", False)))
 
+    def prewarm_serving(self, max_wave=4, options_dict=None):
+        """Deterministically compile the serving-path device programs for
+        every wave bucket up to ``wave_bucket(max_wave)``.
+
+        Serving programs are jitted with static batch dims (the forward's
+        pixel batch and the probed query's wave, both padded to the
+        ``utils.chunking.wave_bucket`` set). A bucket first seen under
+        live traffic compiles mid-request — 30-300 s through the dev
+        relay, seconds on a directly-attached chip but still a latency
+        outlier. This drives ``_serve_batch`` with b synthetic one-image
+        requests for each bucket size b, exercising the exact coalesced
+        route (batched device featurize + query wave + fused rerank when
+        configured) before the server takes traffic. The reference warms
+        per-process at gunicorn worker boot instead (api/
+        gunicorn_api.py:21-75); one shared device needs one shared warm-up.
+
+        Non-detector searchers only: the face path featurizes per-bbox on
+        host and shares the query-wave buckets warmed by any sibling.
+        """
+        if self.detector is not None or getattr(self, "searcher", None) is None:
+            return []
+        import io
+
+        import numpy as np
+        from PIL import Image
+
+        from columbiaimagesearch_tpu.imgio.imgio import get_SHA1_from_buffer
+        from columbiaimagesearch_tpu.utils.chunking import wave_bucket
+
+        rng = np.random.RandomState(0)
+        img = rng.randint(0, 255, (64, 64, 3), dtype=np.uint8)
+        b = io.BytesIO()
+        Image.fromarray(img).save(b, format="JPEG", quality=85)
+        raw = b.getvalue()
+        sha1 = get_SHA1_from_buffer(io.BytesIO(raw))
+        opts = dict(options_dict or {})
+        buckets = sorted({wave_bucket(n) for n in range(1, max_wave + 1)})
+        for n in buckets:
+            reqs = [{"dets": [(sha1, None)], "bufs": [raw],
+                     "options": opts} for _ in range(n)]
+            outs = self._serve_batch(reqs)
+            for out in outs:
+                if isinstance(out, Exception):
+                    raise out
+        return buckets
+
     def _serve_batch(self, requests):
         """Device stage for 1+ prepared requests: one batched featurize
         across every request's buffers, then the query. Subclasses that

@@ -40,6 +40,26 @@ def main():
                   f"retrying in {args.retry_delay}s", file=sys.stderr)
             time.sleep(args.retry_delay)
 
+    # Compile every serving wave-bucket program before taking traffic
+    # (conf key "prewarm_waves"; defaults to the coalescer's max batch so
+    # no bucket first compiles mid-request).
+    try:
+        import json
+
+        with open(args.conf) as f:
+            conf = json.load(f)
+        coalescing = conf.get("SEARCHLOPQ_coalesce_window_ms") is not None
+        max_wave = int(conf.get(
+            "SEARCHLOPQ_prewarm_waves",
+            conf.get("SEARCHLOPQ_coalesce_max_batch", 8)
+            if coalescing else 1))
+        if max_wave > 0:
+            warmed = searcher.prewarm_serving(max_wave)
+            print(f"[run_search_api] pre-warmed wave buckets {warmed}",
+                  file=sys.stderr)
+    except Exception as inst:  # noqa: BLE001 — warm-up is best-effort
+        print(f"[run_search_api] prewarm skipped: {inst}", file=sys.stderr)
+
     server = make_server(searcher, endpoint=args.endpoint, port=args.port,
                          host=args.host,
                          input_type=searcher.input_type)

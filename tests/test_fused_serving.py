@@ -181,3 +181,39 @@ def test_search_device_feats_batch(setup):
         np.testing.assert_allclose(
             [r.dist for r in results], [r.dist for r in host],
             rtol=1e-4, atol=1e-5)
+
+
+def test_featurize_buffers_device_pads_to_bucket(setup):
+    """Coalesced waves arrive at arbitrary sizes; the device featurize
+    must pad its pixel batch to the wave-bucket set so the forward
+    compiles once per bucket, never once per observed size (each fresh
+    compile costs 30-300 s through the dev relay, mid-request)."""
+    searcher, featurizer, jpeg, own = setup
+    seen = []
+    orig = featurizer._forward_device
+
+    def spy(x):
+        seen.append(int(x.shape[0]))
+        return orig(x)
+
+    featurizer._forward_device = spy
+    try:
+        feats, status = featurizer.featurize_buffers_device([jpeg] * 3)
+    finally:
+        featurizer._forward_device = orig
+    assert seen == [4]            # bucket of 4, not a batch-3 program
+    assert feats.shape[0] == 3    # padding sliced back off
+    assert list(status) == [0, 0, 0]
+    np.testing.assert_allclose(np.asarray(feats[0]), np.asarray(feats[1]),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_prewarm_serving_compiles_buckets(setup):
+    """prewarm_serving drives the exact coalesced serve route for every
+    wave bucket and leaves the searcher fully functional."""
+    searcher, featurizer, jpeg, own = setup
+    warmed = searcher.prewarm_serving(4)
+    assert warmed == [1, 2, 4]
+    b64 = base64.b64encode(jpeg).decode()
+    out = searcher.search_imageB64_list([b64], {"max_returned": 5})
+    assert out["AllSimilarImages"][0]["SimilarImages"]["ImageSha1s"]
