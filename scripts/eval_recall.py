@@ -91,6 +91,26 @@ def main():
         return (comp[r.randint(0, n_comp, k)]
                 + 0.25 * r.randn(k, args.dim)).astype(np.float32)
 
+    # Streaming chunks are synthesized ON DEVICE (jax PRNG): the host
+    # MT19937 path costs ~151 s per 2M x 256 chunk on this 1-core box
+    # (~2.1 h per full pass at 100M, paid three times: queries, ground
+    # truth, encode) and then ships 2.1 GB/chunk over the relay. The
+    # device generator emits a chunk in milliseconds and the raw vectors
+    # never cross the host boundary — ground truth reduces on device to
+    # [queries] scalars and encode returns only the codes. Dataset RNG
+    # therefore differs from the non-streaming (host-seed) path; each
+    # artifact records stream_synth so runs are only compared like for
+    # like.
+    comp_dev = jnp.asarray(comp)
+
+    @jax.jit
+    def _synth_dev(c):
+        key = jax.random.fold_in(jax.random.PRNGKey(1000), c)
+        k1, k2 = jax.random.split(key)
+        idx = jax.random.randint(k1, (CH,), 0, n_comp)
+        return (comp_dev[idx]
+                + 0.25 * jax.random.normal(k2, (CH, args.dim), jnp.float32))
+
     train = synth(args.train_n, 1)
     print(f"[{time.time()-t0:.0f}s] training V={args.V} M={args.M}",
           file=sys.stderr, flush=True)
@@ -102,17 +122,16 @@ def main():
     X = None if args.stream_synth else synth(args.n, 2)
 
     def rows_of(src):
-        """Arbitrary rows by index, chunk-cached (streaming mode)."""
+        """Arbitrary rows by index; streaming mode regenerates each row's
+        chunk on device and pulls only the selected rows."""
         if X is not None:
             return X[src]
         out = np.empty((len(src), args.dim), np.float32)
-        order = np.argsort(src)
-        cached_c, cached = -1, None
-        for j in order:
-            c = int(src[j]) // CH
-            if c != cached_c:
-                cached_c, cached = c, synth_chunk(c)
-            out[j] = cached[int(src[j]) % CH]
+        src = np.asarray(src)
+        for c in np.unique(src // CH):
+            sel = np.nonzero(src // CH == c)[0]
+            xc = _synth_dev(jnp.int32(c))
+            out[sel] = np.asarray(xc[jnp.asarray(src[sel] % CH)])
         return out
 
     if args.query_noise > 0:
@@ -139,20 +158,37 @@ def main():
         dmin = jnp.take_along_axis(d, i[:, None], axis=1)[:, 0]
         return dmin, i
 
+    @jax.jit
+    def chunk_nn_dev(qd, c, n_valid):
+        # Fused synth + NN: the chunk never exists off-device; rows past
+        # the dataset end (final partial chunk) are masked to +inf.
+        Xc = _synth_dev(c)
+        d = (jnp.sum(Xc * Xc, 1)[None, :]
+             - 2.0 * jnp.dot(qd, Xc.T, preferred_element_type=jnp.float32,
+                             precision="highest"))
+        d = jnp.where(jnp.arange(CH)[None, :] < n_valid, d, jnp.inf)
+        i = jnp.argmin(d, axis=1)
+        dmin = jnp.take_along_axis(d, i[:, None], axis=1)[:, 0]
+        return dmin, i
+
     # Global best indices accumulate on host in int64: device int32 would
     # wrap past 2^31 rows (jax x64 is off, so jnp.int64 silently degrades).
     best_d = np.full(len(queries), np.inf, np.float32)
     best_i = np.zeros(len(queries), np.int64)
     for c in range((args.n + CH - 1) // CH):
         s0 = c * CH
-        xc = X[s0:s0 + CH] if X is not None else synth_chunk(c)
-        dmin, i = chunk_nn(qd, jnp.asarray(xc))
+        if X is None:
+            dmin, i = chunk_nn_dev(qd, jnp.int32(c),
+                                   jnp.int32(min(CH, args.n - s0)))
+        else:
+            dmin, i = chunk_nn(qd, jnp.asarray(X[s0:s0 + CH]))
         dmin, i = np.asarray(dmin), np.asarray(i)
         upd = dmin < best_d
         best_d = np.where(upd, dmin, best_d)
         best_i = np.where(upd, s0 + i.astype(np.int64), best_i)
         if c % 8 == 7:
-            print(f"[{time.time()-t0:.0f}s] gt {s0 + len(xc)}/{args.n}",
+            print(f"[{time.time()-t0:.0f}s] gt "
+                  f"{min(s0 + CH, args.n)}/{args.n}",
                   file=sys.stderr, flush=True)
     nns = best_i
 
@@ -165,15 +201,21 @@ def main():
           flush=True)
     from columbiaimagesearch_tpu.utils.chunking import round_up
 
-    # Encode in host-streamed slabs (same HBM reasoning as ground truth).
+    # Encode in streamed slabs (same HBM reasoning as ground truth);
+    # streaming chunks go device-synth -> encode, only codes come home.
     co_parts, fi_parts = [], []
     for c in range((args.n + CH - 1) // CH):
-        xc = X[c * CH:(c + 1) * CH] if X is not None else synth_chunk(c)
-        n_real = len(xc)
-        pad = round_up(n_real, 4096) - n_real
-        if pad:
-            xc = np.pad(xc, [(0, pad), (0, 0)])
-        co, fi = lopq_encode(Cs, Rs, mus, subs, jnp.asarray(xc), chunk=4096)
+        if X is None:
+            n_real = min(CH, args.n - c * CH)
+            xd = _synth_dev(jnp.int32(c))    # device; CH is 4096-aligned
+        else:
+            xc = X[c * CH:(c + 1) * CH]
+            n_real = len(xc)
+            pad = round_up(n_real, 4096) - n_real
+            if pad:
+                xc = np.pad(xc, [(0, pad), (0, 0)])
+            xd = jnp.asarray(xc)
+        co, fi = lopq_encode(Cs, Rs, mus, subs, xd, chunk=4096)
         co_parts.append(np.asarray(co)[:n_real])
         fi_parts.append(np.asarray(fi)[:n_real])
         if c % 8 == 7:

@@ -53,7 +53,8 @@ DEFAULT_QUEUE = [
     {"cmd": [sys.executable, "bench.py", "--mode", "searcher"],
      "stdout": "benchmarks/r03_searcher_10Mi.json"},
     # 100M recall + probe tradeoff (longest; last).
-    {"cmd": [sys.executable, "scripts/eval_recall.py",
+    {"timeout_s": 5 * 3600,
+     "cmd": [sys.executable, "scripts/eval_recall.py",
              "--n", str(100 << 20), "--dim", "256", "--train-n", "100000",
              "--V", "4096", "--M", "8", "--queries", "100",
              "--query-noise", "0.25", "--stream-synth", "--skip-exact",
@@ -89,7 +90,7 @@ def run_step(step, idx):
                 rc = p.poll()
                 if rc is not None:
                     break
-                if time.time() - t0 > STEP_TIMEOUT_S:
+                if time.time() - t0 > step.get("timeout_s", STEP_TIMEOUT_S):
                     print(f"[queue] {name}: step timeout, killing",
                           flush=True)
                     p.kill()
