@@ -291,6 +291,7 @@ def bench_extraction_e2e(args, n_images=512, reps=3):
     # pure host, upload+preprocess rides the relay's H2D, D2H is the
     # known-slow direction on this box).
     import jax
+    import jax.numpy as jnp
 
     from columbiaimagesearch_tpu.extraction.featsio import normfeatB64encode
     from columbiaimagesearch_tpu.models.preprocess import (

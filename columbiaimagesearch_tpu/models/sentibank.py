@@ -263,24 +263,32 @@ class SentibankFeaturizer:
         (jax array) — feed them to ``search_device_feats`` so the serving
         path never round-trips features through the host.
 
-        The forward is jitted with a static batch dim, and coalesced
-        serving waves arrive at arbitrary sizes — so the pixel batch is
-        zero-padded to the shared wave-bucket set (utils.chunking
+        The preprocess and forward are jitted with static batch dims, and
+        coalesced serving waves arrive at arbitrary sizes — so the pixel
+        batch is zero-padded to the shared wave-bucket set (utils.chunking
         .wave_bucket; one compiled program per bucket, not per observed
-        size: each fresh compile costs 30-300 s through the dev relay
-        and would otherwise land mid-traffic)."""
+        size: each fresh compile costs 30-300 s through the dev relay and
+        would otherwise land mid-traffic). Padding happens on the HOST
+        uint8 stack, BEFORE the jitted preprocess — padding downstream
+        would leave ``preprocess_device`` itself compiling once per
+        observed size."""
         import jax.numpy as jnp
 
-        from columbiaimagesearch_tpu.models.preprocess import preprocess_buffers
+        from columbiaimagesearch_tpu.models.preprocess import (
+            TARGET,
+            preprocess_device,
+        )
+        from columbiaimagesearch_tpu.native import decode_resize_batch
         from columbiaimagesearch_tpu.utils.chunking import wave_bucket
 
-        x, status = preprocess_buffers(buffers, self.mean,
-                                       dct_scale=self.dct_scale)
-        n = x.shape[0]
+        stack, status = decode_resize_batch(buffers, TARGET,
+                                            dct_scale=self.dct_scale)
+        n = len(stack)
         nb = wave_bucket(n)
         if nb != n:
-            x = jnp.concatenate(
-                [x, jnp.zeros((nb - n,) + x.shape[1:], x.dtype)])
+            stack = np.concatenate(
+                [stack, np.zeros((nb - n,) + stack.shape[1:], stack.dtype)])
+        x = preprocess_device(stack, jnp.asarray(self.mean))
         return self._forward_device(x)[:n], status
 
     def _forward(self, x):

@@ -256,15 +256,19 @@ class GenericSearcher:
         raw = b.getvalue()
         sha1 = get_SHA1_from_buffer(io.BytesIO(raw))
         opts = dict(options_dict or {})
-        buckets = sorted({wave_bucket(n) for n in range(1, max_wave + 1)})
-        for n in buckets:
+        # Every wave size, not just the bucket sizes: off-bucket waves
+        # (e.g. 3 requests padded to the 4-bucket) additionally dispatch
+        # small pad/slice programs keyed on (bucket, n) — each is tiny
+        # but still a fresh relay compile the first time it is seen.
+        sizes = list(range(1, max_wave + 1))
+        for n in sizes:
             reqs = [{"dets": [(sha1, None)], "bufs": [raw],
                      "options": opts} for _ in range(n)]
             outs = self._serve_batch(reqs)
             for out in outs:
                 if isinstance(out, Exception):
                     raise out
-        return buckets
+        return sorted({wave_bucket(n) for n in sizes})
 
     def _serve_batch(self, requests):
         """Device stage for 1+ prepared requests: one batched featurize

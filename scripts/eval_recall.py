@@ -85,12 +85,6 @@ def main():
     # from seed 1000+c, so streaming mode never materializes X.
     CH = 1 << 21
 
-    def synth_chunk(c):
-        r = np.random.RandomState(1000 + c)
-        k = min(CH, args.n - c * CH)
-        return (comp[r.randint(0, n_comp, k)]
-                + 0.25 * r.randn(k, args.dim)).astype(np.float32)
-
     # Streaming chunks are synthesized ON DEVICE (jax PRNG): the host
     # MT19937 path costs ~151 s per 2M x 256 chunk on this 1-core box
     # (~2.1 h per full pass at 100M, paid three times: queries, ground
@@ -100,16 +94,20 @@ def main():
     # [queries] scalars and encode returns only the codes. Dataset RNG
     # therefore differs from the non-streaming (host-seed) path; each
     # artifact records stream_synth so runs are only compared like for
-    # like.
+    # like. comp rides as a jit ARGUMENT (closure-captured device arrays
+    # are baked into the HLO and re-ship per call — CLAUDE.md).
     comp_dev = jnp.asarray(comp)
 
     @jax.jit
-    def _synth_dev(c):
+    def _synth_fn(comp_d, c):
         key = jax.random.fold_in(jax.random.PRNGKey(1000), c)
         k1, k2 = jax.random.split(key)
         idx = jax.random.randint(k1, (CH,), 0, n_comp)
-        return (comp_dev[idx]
+        return (comp_d[idx]
                 + 0.25 * jax.random.normal(k2, (CH, args.dim), jnp.float32))
+
+    def _synth_dev(c):
+        return _synth_fn(comp_dev, c)
 
     train = synth(args.train_n, 1)
     print(f"[{time.time()-t0:.0f}s] training V={args.V} M={args.M}",
@@ -159,10 +157,10 @@ def main():
         return dmin, i
 
     @jax.jit
-    def chunk_nn_dev(qd, c, n_valid):
+    def chunk_nn_dev(comp_d, qd, c, n_valid):
         # Fused synth + NN: the chunk never exists off-device; rows past
         # the dataset end (final partial chunk) are masked to +inf.
-        Xc = _synth_dev(c)
+        Xc = _synth_fn(comp_d, c)
         d = (jnp.sum(Xc * Xc, 1)[None, :]
              - 2.0 * jnp.dot(qd, Xc.T, preferred_element_type=jnp.float32,
                              precision="highest"))
@@ -178,7 +176,7 @@ def main():
     for c in range((args.n + CH - 1) // CH):
         s0 = c * CH
         if X is None:
-            dmin, i = chunk_nn_dev(qd, jnp.int32(c),
+            dmin, i = chunk_nn_dev(comp_dev, qd, jnp.int32(c),
                                    jnp.int32(min(CH, args.n - s0)))
         else:
             dmin, i = chunk_nn(qd, jnp.asarray(X[s0:s0 + CH]))

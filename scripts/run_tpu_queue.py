@@ -116,7 +116,12 @@ def run_step(step, idx):
             print(f"[queue] {name}: OK (attempt {attempt})", flush=True)
             return True
         print(f"[queue] {name}: rc={rc} (attempt {attempt})", flush=True)
+        # Re-gate on device health before retrying: a client launched
+        # right after a killed heavy process is exactly the post-exit
+        # wedge scenario (docstring) — without this, all retries can burn
+        # inside one wedge window while the startup gate never re-runs.
         time.sleep(20)
+        wait_for_tpu()
     print(f"[queue] {name}: FAILED after {MAX_TRIES} attempts", flush=True)
     return False
 
@@ -130,7 +135,11 @@ def wait_for_tpu(max_wait_s=10 * 3600):
     t0 = time.time()
     while time.time() - t0 < max_wait_s:
         try:
-            subprocess.run(probe, timeout=150, check=True,
+            # 330 s: above the 30-300 s remote-compile range, so a healthy
+            # device with a cold compilation cache is not declared wedged
+            # (a killed probe never populates the cache, which would make
+            # every retry recompile and time out identically).
+            subprocess.run(probe, timeout=330, check=True,
                            stdout=subprocess.DEVNULL,
                            stderr=subprocess.DEVNULL)
             print(f"[queue] TPU healthy after {time.time()-t0:.0f}s wait",
