@@ -651,7 +651,7 @@ class LOPQSearcherTPU(LOPQSearcherBase):
         return out
 
     def search_device_feats(self, feats_dev, quota=10, limit=None,
-                            with_dists=True, rerank_nb=None):
+                            with_dists=True, rerank_nb=None, n_valid=None):
         """Serving fast path: RAW device-resident features (straight from
         the featurizer forward, pre-normalize, pre-PCA) -> results, in one
         program + one device-to-host sync per probe tier (waves padded to
@@ -659,7 +659,15 @@ class LOPQSearcherTPU(LOPQSearcherBase):
         store the exact rerank is fused in too (see :meth:`search_batch`).
         Results carry code=None (like the sharded/exhaustive backends).
         Returns [(results, visited)] per query, same structure as
-        :meth:`search_batch`."""
+        :meth:`search_batch`.
+
+        ``n_valid``: the wave may arrive already bucket-padded straight
+        from ``featurize_wave`` (rows past ``n_valid`` are padding) — the
+        first tier then runs the array as-is with ZERO reshaping
+        dispatches, answers come back for the first ``n_valid`` queries
+        only, and pad rows never enter the escalation bookkeeping (a
+        zero-feature pad row always falls short of the quota and would
+        otherwise drag every wave onto the wider rungs)."""
         import jax.numpy as jnp
 
         from columbiaimagesearch_tpu.index.tpu_query import (
@@ -671,7 +679,7 @@ class LOPQSearcherTPU(LOPQSearcherBase):
         if feats_dev.ndim == 1:
             feats_dev = feats_dev[None, :]
         d, ids_arr, cells_arr, fine_arr, nb = self._snapshot()
-        nq = int(feats_dev.shape[0])
+        nq = int(n_valid) if n_valid is not None else int(feats_dev.shape[0])
         if nb == 0:
             return [([], 0)] * nq
 
@@ -685,9 +693,14 @@ class LOPQSearcherTPU(LOPQSearcherBase):
                                                    rerank_nb)
 
         def run_tier(idx, B):
-            Xt = feats_dev if len(idx) == nq else jnp.take(
-                feats_dev, jnp.asarray(idx), axis=0)
-            Xw, k = pad_rows(Xt, wave_bucket(len(idx)))
+            if len(idx) == nq:
+                # Full wave: pad_rows is a no-op when the caller handed a
+                # pre-padded wave (n_valid path) — no device reshaping.
+                Xw, _ = pad_rows(feats_dev, wave_bucket(nq))
+                k = nq
+            else:
+                Xt = jnp.take(feats_dev, jnp.asarray(idx), axis=0)
+                Xw, k = pad_rows(Xt, wave_bucket(len(idx)))
             packed = np.asarray(fused_feat_query(
                 Xw, d.get("pca_P"), d.get("pca_mu"),
                 d["Cs"], d["Rs"], d["mus"], d["subs"],

@@ -95,6 +95,24 @@ def sentibank_logits(params, x):
     return DeepSentibank().apply({"params": params}, x)
 
 
+@functools.partial(jax.jit, static_argnames=("bf16",))
+def sentibank_features_fused(params, x_uint8, mean, *, bf16: bool):
+    """Preprocess (crop/BGR/mean-sub) + forward in ONE device program.
+
+    The serving path dispatches per wave through a relay that costs
+    ~30 ms per dispatch on the dev box (free on directly-attached
+    chips, but fewer launches never hurt); fusing the two stages halves
+    the featurize dispatch count. ``mean`` and ``params`` ride as
+    arguments (CLAUDE.md closure-capture rule)."""
+    from columbiaimagesearch_tpu.models.preprocess import preprocess_device
+
+    x = preprocess_device(x_uint8, mean)
+    if bf16:
+        return _forward_features(params, x.astype(jnp.bfloat16)).astype(
+            jnp.float32)
+    return _forward_features(params, x)
+
+
 def init_params(seed: int = 0):
     model = DeepSentibank()
     dummy = jnp.zeros((1, INPUT_SIZE, INPUT_SIZE, 3), dtype=jnp.float32)
@@ -272,12 +290,20 @@ class SentibankFeaturizer:
         uint8 stack, BEFORE the jitted preprocess — padding downstream
         would leave ``preprocess_device`` itself compiling once per
         observed size."""
+        feats, n, status = self.featurize_wave(buffers)
+        return feats[:n], status
+
+    def featurize_wave(self, buffers):
+        """Serving-wave featurize: buffers -> (feats [nb, 4096] device,
+        n, status [n]) where nb = wave_bucket(n) and rows past n are
+        padding. Decode/resize on host, then ONE device program
+        (preprocess + forward fused). Callers that keep the padded wave
+        (GenericSearcher._serve_batch) avoid the per-row slice dispatches
+        entirely; ``featurize_buffers_device`` slices for the legacy
+        contract."""
         import jax.numpy as jnp
 
-        from columbiaimagesearch_tpu.models.preprocess import (
-            TARGET,
-            preprocess_device,
-        )
+        from columbiaimagesearch_tpu.models.preprocess import TARGET
         from columbiaimagesearch_tpu.native import decode_resize_batch
         from columbiaimagesearch_tpu.utils.chunking import wave_bucket
 
@@ -288,8 +314,11 @@ class SentibankFeaturizer:
         if nb != n:
             stack = np.concatenate(
                 [stack, np.zeros((nb - n,) + stack.shape[1:], stack.dtype)])
-        x = preprocess_device(stack, jnp.asarray(self.mean))
-        return self._forward_device(x)[:n], status
+        bf16 = self._params_bf16 is not None
+        params = self._params_bf16 if bf16 else self.params
+        feats = sentibank_features_fused(params, stack,
+                                         jnp.asarray(self.mean), bf16=bf16)
+        return feats, n, status
 
     def _forward(self, x):
         return np.asarray(self._forward_device(x))

@@ -284,8 +284,32 @@ class GenericSearcher:
             if "bufs" in req and req["bufs"]:
                 groups.setdefault(
                     self._use_device_feats(req["options"]), []).append(ri)
+        wave = None  # (padded device feats, n_valid); spans live per request
         for use_device, rids in groups.items():
             flat = [b for ri in rids for b in requests[ri]["bufs"]]
+            # Wave route: keep the whole bucket-padded forward output ON
+            # device and record per-request row spans — the per-row
+            # slice/ravel/stack dance costs ~2 dispatches per buffer
+            # through the relay (~30 ms each on the dev box). The sliced
+            # per-request view is still attached for the fallback paths
+            # (lazy; only dispatched if actually materialized).
+            if (use_device and self.detector is None
+                    and hasattr(self.featurizer, "featurize_wave")):
+                try:
+                    w, n_w, status = self.featurizer.featurize_wave(flat)
+                except Exception:  # noqa: BLE001 — ladder below recovers
+                    status = [1]
+                if all(int(s) == 0 for s in status):
+                    at = 0
+                    for ri in rids:
+                        n = len(requests[ri]["bufs"])
+                        requests[ri]["feats"] = [w[at + j]
+                                                 for j in range(n)]
+                        requests[ri]["span"] = (at, n)
+                        at += n
+                    wave = (w, n_w)
+                    continue
+                # Any decode failure: per-image fallback ladder below.
             try:
                 feats = self._featurize_bufs(flat, use_device)
             except Exception as inst:  # noqa: BLE001 — isolate to group
@@ -303,10 +327,13 @@ class GenericSearcher:
         multi = getattr(self, "search_from_feats_multi", None)
         ready = [i for i, r in enumerate(requests) if "error" not in r]
         outs = {}
-        if multi is not None and len(ready) > 1:
+        if multi is not None and (len(ready) > 1
+                                  or (wave is not None and ready)):
             try:
                 got = multi([(requests[i]["dets"], requests[i]["feats"],
-                              requests[i]["options"]) for i in ready])
+                              requests[i]["options"]) for i in ready],
+                            wave=wave,
+                            spans=[requests[i].get("span") for i in ready])
                 outs = dict(zip(ready, got))
             except Exception:  # noqa: BLE001 — retry per-request below
                 outs = {}

@@ -288,8 +288,13 @@ class SearcherLOPQ(GenericSearcher):
     # --------------------------------------------------------------- query
 
     def _search_many(self, feat_list, quota, max_returned, reranking,
-                     rerank_nb, filter_near_dup, near_dup_th, split_ids):
+                     rerank_nb, filter_near_dup, near_dup_th, split_ids,
+                     X_dev=None, n_valid=None):
         """Search a wave of query features.
+
+        ``X_dev``: the wave as ONE device array (optionally bucket-padded;
+        ``n_valid`` marks the real row count) straight from the serving
+        wave route — skips the per-row slice/ravel/stack dispatches.
 
         Concurrent queries in one request (or one serving wave) are routed
         through the backend's ``search_batch`` when it has one — one device
@@ -311,6 +316,22 @@ class SearcherLOPQ(GenericSearcher):
         limit = (max_returned if (not reranking or device_rerank)
                  else max(max_returned, rerank_nb))
         dev_rerank_nb = rerank_nb if device_rerank else None
+        if X_dev is not None:
+            if ((not reranking or device_rerank)
+                    and hasattr(self.searcher, "search_device_feats")):
+                waves = self.searcher.search_device_feats(
+                    X_dev, quota=quota, limit=limit,
+                    rerank_nb=dev_rerank_nb, n_valid=n_valid)
+                return [
+                    self._rank_results(None, results, visited, max_returned,
+                                       False, rerank_nb, filter_near_dup,
+                                       near_dup_th, split_ids)
+                    for results, visited in waves
+                ]
+            # Config can't ride the fused route (e.g. host rerank):
+            # materialize the wave rows and continue down the normal path.
+            nv = int(n_valid if n_valid is not None else X_dev.shape[0])
+            feat_list = [X_dev[i] for i in range(nv)]
         if (feat_list and (not reranking or device_rerank)
                 and hasattr(self.searcher, "search_device_feats")
                 and all(hasattr(f, "block_until_ready") for f in feat_list)):
@@ -453,7 +474,7 @@ class SearcherLOPQ(GenericSearcher):
                                      all_sim_score, options_dict,
                                      self.input_type)
 
-    def search_from_feats_multi(self, requests):
+    def search_from_feats_multi(self, requests, wave=None, spans=None):
         """Coalesced serving: one `_search_many` device wave for every
         same-parameter request in the batch, then per-request output
         assembly (so batch-wide counters in the response stay per-request
@@ -462,6 +483,12 @@ class SearcherLOPQ(GenericSearcher):
         (image, face) pair across the bundle rides one wave.
 
         :param requests: list of (dets, feats, options_dict)
+        :param wave: optional (padded device feats, n_valid) straight from
+            ``featurize_wave`` — the whole bundle's forward output as ONE
+            device array. With ``spans`` (per-request (row_offset, n) into
+            it, None where a request isn't wave-backed) the query wave is
+            taken from it directly instead of re-stacking per-row slices
+            (each per-row slice/stack is a relay dispatch).
         :returns: one formatted output dict per request, in order
         """
         detector = self.detector is not None
@@ -474,24 +501,49 @@ class SearcherLOPQ(GenericSearcher):
         for (params, detect_only), rids in groups.items():
             (quota, max_returned, reranking, rerank_nb,
              filter_near_dup, near_dup_th) = params
-            wave, spans = [], []
+            use_wave = (wave is not None and not detector and not detect_only
+                        and self.searcher is not None and spans is not None
+                        and all(spans[ri] is not None for ri in rids))
+            if use_wave:
+                rows, wv, sp = [], [], []
+                for ri in rids:
+                    at, n = spans[ri]
+                    start = len(rows)
+                    rows.extend(range(at, at + n))
+                    sp.append((start, len(rows)))
+                w_dev, n_w = wave
+                if rows == list(range(n_w)):
+                    X_dev, nv = w_dev, n_w  # padded wave rides whole
+                else:
+                    import jax.numpy as jnp
+
+                    X_dev = jnp.take(w_dev, jnp.asarray(rows), axis=0)
+                    nv = len(rows)
+                answers = self._search_many(
+                    [], quota, max_returned, reranking, rerank_nb,
+                    filter_near_dup, near_dup_th, split_ids=False,
+                    X_dev=X_dev, n_valid=nv)
+                for ri, span in zip(rids, sp):
+                    answers_by_req[ri] = answers[span[0]:span[1]]
+                continue
+            wave_l, spans_l = [], []
             for ri in rids:
                 dets, feats, _ = requests[ri]
-                start = len(wave)
+                start = len(wave_l)
                 if self.searcher is not None and not detect_only:
                     if detector:
                         coords = [(i, j) for i in range(len(dets))
                                   for j in range(len(dets[i][1]))]
-                        wave.extend(feats[i][j] for i, j in coords)
-                        spans.append((start, coords))
+                        wave_l.extend(feats[i][j] for i, j in coords)
+                        spans_l.append((start, coords))
                         continue
-                    wave.extend(feats)
-                spans.append((start, len(wave)))
-            answers = self._search_many(wave, quota, max_returned,
+                    wave_l.extend(feats)
+                spans_l.append((start, len(wave_l)))
+            answers = self._search_many(wave_l, quota, max_returned,
                                         reranking, rerank_nb,
                                         filter_near_dup, near_dup_th,
                                         split_ids=detector)
-            for ri, span in zip(rids, spans):
+            for ri, span in zip(rids, spans_l):
                 if detector and isinstance(span[1], list):
                     start, coords = span
                     answers_by_req[ri] = dict(

@@ -185,27 +185,64 @@ def test_search_device_feats_batch(setup):
 
 def test_featurize_buffers_device_pads_to_bucket(setup):
     """Coalesced waves arrive at arbitrary sizes; the device featurize
-    must pad its pixel batch to the wave-bucket set so the forward
-    compiles once per bucket, never once per observed size (each fresh
-    compile costs 30-300 s through the dev relay, mid-request)."""
+    must pad its pixel batch to the wave-bucket set BEFORE the fused
+    preprocess+forward program so it compiles once per bucket, never once
+    per observed size (each fresh compile costs 30-300 s through the dev
+    relay, mid-request)."""
+    from columbiaimagesearch_tpu.models import sentibank as sb
+
     searcher, featurizer, jpeg, own = setup
     seen = []
-    orig = featurizer._forward_device
+    orig = sb.sentibank_features_fused
 
-    def spy(x):
-        seen.append(int(x.shape[0]))
-        return orig(x)
+    def spy(params, stack, mean, *, bf16):
+        seen.append(int(stack.shape[0]))
+        return orig(params, stack, mean, bf16=bf16)
 
-    featurizer._forward_device = spy
+    sb.sentibank_features_fused = spy
     try:
         feats, status = featurizer.featurize_buffers_device([jpeg] * 3)
     finally:
-        featurizer._forward_device = orig
+        sb.sentibank_features_fused = orig
     assert seen == [4]            # bucket of 4, not a batch-3 program
     assert feats.shape[0] == 3    # padding sliced back off
     assert list(status) == [0, 0, 0]
     np.testing.assert_allclose(np.asarray(feats[0]), np.asarray(feats[1]),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_featurize_wave_matches_device_path(setup):
+    """featurize_wave (the serving wave route: fused preprocess+forward,
+    padded output) must produce the same features as featurize_buffers."""
+    searcher, featurizer, jpeg, own = setup
+    wave, n, status = featurizer.featurize_wave([jpeg] * 3)
+    assert n == 3 and wave.shape[0] == 4 and list(status) == [0, 0, 0]
+    host, hstatus = featurizer.featurize_buffers([jpeg])
+    np.testing.assert_allclose(np.asarray(wave[0]), host[0],
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_serve_batch_wave_route_matches_sequential(setup):
+    """_serve_batch's wave route (whole padded forward output -> one query
+    wave, zero per-row slicing) must return exactly what per-request
+    sequential serving returns."""
+    searcher, featurizer, jpeg, own = setup
+    b64 = base64.b64encode(jpeg).decode()
+    opts = {"max_returned": 5}
+    from columbiaimagesearch_tpu.imgio.imgio import get_buffer_from_B64
+
+    seq = searcher.search_imageB64_list([b64], dict(opts))
+    reqs = [searcher._prepare_request([b64], get_buffer_from_B64,
+                                      dict(opts), False)
+            for _ in range(3)]
+    outs = searcher._serve_batch(reqs)
+    for out in outs:
+        assert not isinstance(out, Exception), out
+        a = out["AllSimilarImages"][0]["SimilarImages"]
+        b = seq["AllSimilarImages"][0]["SimilarImages"]
+        assert a["ImageSha1s"] == b["ImageSha1s"]
+        np.testing.assert_allclose(a["Distances"], b["Distances"],
+                                   rtol=1e-4, atol=1e-5)
 
 
 def test_prewarm_serving_compiles_buckets(setup):
