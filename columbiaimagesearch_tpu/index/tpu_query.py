@@ -202,55 +202,40 @@ def lopq_query(
     # --- 2. B x B cell grid in multisequence visit order -------------------
     G = B * B
     grid = td0[:, None] + td1[None, :]              # [B, B]
-    flat = grid.reshape(-1)
     sort_grid = G <= 16384
     if sort_grid:
         # lax.top_k returns its k results sorted ascending in distance —
         # exactly the multisequence visitation order — and is markedly
         # cheaper than a full argsort of the grid on TPU.
+        flat = grid.reshape(-1)
         neg_sorted, order = jax.lax.top_k(-flat, G)
         a_idx, b_idx = order // B, order % B         # slots into i0 / i1
-    else:
-        # Wide rungs (escalated probes): a full sort of the grid is
-        # O(G log G) and dominated the escalated serving path (a 1M-cell
-        # sort per query at B=1024). The quota prefix of the visit order
-        # is recovered sort-free below via an exact bit-bisection
-        # threshold; cells stay in flat (row-major) order here.
-        fidx = jnp.arange(G, dtype=jnp.int32)
-        a_idx, b_idx = fidx // B, fidx % B
-    cell_ids = i0[a_idx] * V + i1[b_idx]             # [G] global cell ids
+        cell_ids = i0[a_idx] * V + i1[b_idx]         # [G] global cell ids
 
     # --- 3. ragged buckets -> fixed Q candidate slots ----------------------
-    if cell_start is None:
-        # Wide-V fallback: no dense offsets table (a [V^2+1] int32 table
-        # costs 1 GB at V=16384). The CSR rows are cell-sorted, so a
-        # probed cell's bucket is the searchsorted range over the sorted
-        # cell-id array — ~log2(N) gather passes over B*B keys, once per
-        # query, instead of O(V^2) resident memory. Sentinel (V*V) padding
-        # rows sort after every real cell and are never matched.
-        starts = jnp.searchsorted(cells_sorted, cell_ids,
-                                  side="left").astype(jnp.int32)
-        ends = jnp.searchsorted(cells_sorted, cell_ids,
-                                side="right").astype(jnp.int32)
-        counts = ends - starts                       # [B*B]
-    elif sort_grid:
-        # One 2-wide sliced gather for (start, end) per probed cell
-        # instead of two scalar gathers from the [V^2+1] offsets table.
-        bounds = cell_start[
-            cell_ids[:, None]
-            + jnp.arange(2, dtype=jnp.int32)[None, :]]          # [B*B, 2]
-        starts = bounds[:, 0]
-        counts = bounds[:, 1] - starts               # [B*B]
-    else:
-        # Wide rungs keep every [G]-sized intermediate FLAT: a [G, 2]
-        # sliced-gather output materializes with (8, 128) tile padding
-        # in its minor dims, which at B=1024 under a 64-query vmap is a
-        # ~32 GB allocation (observed compile OOM). Two [G] gathers tile
-        # perfectly.
-        starts = cell_start[cell_ids]
-        counts = cell_start[cell_ids + 1] - starts   # [G]
     j = jnp.arange(Q, dtype=jnp.int32)
     if sort_grid:
+        if cell_start is None:
+            # Wide-V fallback: no dense offsets table (a [V^2+1] int32
+            # table costs 1 GB at V=16384). The CSR rows are cell-sorted,
+            # so a probed cell's bucket is the searchsorted range over the
+            # sorted cell-id array — ~log2(N) gather passes over B*B keys,
+            # once per query, instead of O(V^2) resident memory. Sentinel
+            # (V*V) padding rows sort after every real cell and are never
+            # matched.
+            starts = jnp.searchsorted(cells_sorted, cell_ids,
+                                      side="left").astype(jnp.int32)
+            ends = jnp.searchsorted(cells_sorted, cell_ids,
+                                    side="right").astype(jnp.int32)
+            counts = ends - starts                   # [B*B]
+        else:
+            # One 2-wide sliced gather for (start, end) per probed cell
+            # instead of two scalar gathers from the [V^2+1] offsets table.
+            bounds = cell_start[
+                cell_ids[:, None]
+                + jnp.arange(2, dtype=jnp.int32)[None, :]]      # [B*B, 2]
+            starts = bounds[:, 0]
+            counts = bounds[:, 1] - starts           # [B*B]
         csum = jnp.cumsum(counts)
         # Visit cells in order until the quota is covered; the crossing
         # cell is included whole (reference get_result_quota semantics).
@@ -287,54 +272,146 @@ def lopq_query(
         # distance of the reference walk's quota-crossing cell
         # (lopq/lopq/search.py:110-135), with distance ties at theta
         # included whole (the reference's heap breaks such ties
-        # arbitrarily). Non-negative f32 bit patterns are
-        # order-isomorphic to int32, so 31 masked-sum bisection steps
-        # land exactly on a present distance value.
-        fbits = jax.lax.bitcast_convert_type(flat, jnp.int32)
-        total_grid = jnp.sum(counts)
+        # arbitrarily).
+        #
+        # ROW STRUCTURE is the whole trick: grid[a, b] = td0[a] + td1[b]
+        # with td1 ascending, and IEEE addition is monotone — so every row
+        # of the grid is ascending, and every grid-wide reduction the
+        # masked-sum formulation needed (31 bisection passes over [G],
+        # two [G] cumsums, a [G]-scatter slot map — ~60 full-grid passes,
+        # 4.4 s per 100-query wave at B=1024) collapses to per-ROW binary
+        # searches against ONE row-cumsum table:
+        #   weighted_count(t) = sum_a P[a, #{b: grid[a,b] <= t} - 1]
+        # where P = cumsum(counts, axis=1). Total [G]-scale work: the grid
+        # eval, one counts gather, one row cumsum. Everything else is
+        # O(B log B) or O(Q log B).
+        cell2d = i0[:, None] * V + i1[None, :]        # [B, B] cell ids
+        if cell_start is None:
+            cflat = cell2d.reshape(-1)
+            cnt2d = (jnp.searchsorted(cells_sorted, cflat, side="right")
+                     - jnp.searchsorted(cells_sorted, cflat, side="left")
+                     ).astype(jnp.int32).reshape(B, B)
+        else:
+            # Two flat [G] gathers ([G, 2] sliced gathers tile-pad their
+            # minor dim 128x on TPU: a 32 GB allocation at B=1024 under a
+            # 64-query vmap).
+            c2f = cell2d.reshape(-1)
+            cnt2d = (cell_start[c2f + 1]
+                     - cell_start[c2f]).reshape(B, B)
+        P = jnp.cumsum(cnt2d, axis=1, dtype=jnp.int32)    # [B, B]
+        Pf = P.reshape(-1)
+        gridf = grid.reshape(-1)                          # [G] f32
+        rowa = jnp.arange(B, dtype=jnp.int32)
+        total_grid = jnp.sum(P[:, -1])
         quota_eff = jnp.minimum(quota, total_grid)
+
+        def _row_k(t, strict):
+            """Per row a: #{b: grid[a, b] <= t} (< t when strict), via
+            vectorized binary search down the ascending rows."""
+            lo = jnp.zeros((B,), jnp.int32)
+            hi = jnp.full((B,), B, jnp.int32)
+            base = rowa * B
+
+            def stp(_, lh):
+                lo_, hi_ = lh
+                mid = (lo_ + hi_) // 2
+                # A row converged at k=B keeps mid=B on spare iterations:
+                # clamp the read and force the left branch (virtual +inf
+                # sentinel) so the state stays (B, B).
+                v = gridf[base + jnp.minimum(mid, B - 1)]
+                left = (v >= t) if strict else (v > t)
+                left = left | (mid >= B)
+                return (jnp.where(left, lo_, mid + 1),
+                        jnp.where(left, mid, hi_))
+
+            lo, hi = jax.lax.fori_loop(0, int(B).bit_length(), stp,
+                                       (lo, hi))
+            return lo                                     # [B]
+
+        def _wsum(k):
+            """Candidates in the per-row prefixes ``k`` ([B] cell counts)."""
+            return jnp.sum(jnp.where(
+                k > 0, Pf[rowa * B + jnp.maximum(k - 1, 0)], 0))
+
+        # Exact bisection on f32 bit patterns (order-isomorphic to int32
+        # for non-negative floats): lands on a PRESENT grid distance.
+        fb2d = jax.lax.bitcast_convert_type(grid, jnp.int32)
 
         def _bisect(_, lh):
             lo, hi = lh
             mid = lo + (hi - lo) // 2
-            ge = jnp.sum(jnp.where(fbits <= mid, counts, 0)) >= quota_eff
+            t = jax.lax.bitcast_convert_type(mid, jnp.float32)
+            ge = _wsum(_row_k(t, strict=False)) >= quota_eff
             return jnp.where(ge, lo, mid + 1), jnp.where(ge, mid, hi)
 
         _, thr = jax.lax.fori_loop(
-            0, 31, _bisect, (jnp.min(fbits), jnp.max(fbits)))
-        interior = fbits < thr    # strictly-cheaper cells: all kept
-        boundary = fbits == thr   # crossing cell + exact-distance ties
-        cnt_int = jnp.where(interior, counts, 0)
-        cnt_bnd = jnp.where(boundary, counts, 0)
-        scs_int = jnp.cumsum(cnt_int)
-        scs_bnd = scs_int[-1] + jnp.cumsum(cnt_bnd)
-        total = scs_bnd[-1]
-        n_cells = jnp.sum((interior | boundary).astype(jnp.int32))
+            0, 31, _bisect, (jnp.min(fb2d), jnp.max(fb2d)))
         d_stop = jax.lax.bitcast_convert_type(thr, jnp.float32)
-        # Slot layout: interior cells first (their cumulative count is
-        # < quota <= Q by construction, so the Q clip can never drop one),
-        # boundary cells after — preserving the sorted path's property
-        # that only crossing-cell members are ever clipped. Cells within
-        # a segment fill in flat order; the set, not the order, feeds the
-        # ADC top-K.
-        markers = (jnp.zeros(Q + 1, jnp.int32)
-                   .at[jnp.minimum(scs_int, Q)].add(1)
-                   .at[jnp.minimum(scs_bnd, Q)].add(1))
-        v_for_j = jnp.cumsum(markers)[:Q]             # virtual cell [0, 2G)
-        v_for_j = jnp.minimum(v_for_j, 2 * G - 1)
-        is_bnd = v_for_j >= G
-        cellv = jnp.where(is_bnd, v_for_j - G, v_for_j)
-        # Flat [Q]-from-[G] gathers only (a packed [G, 8] meta table — the
-        # narrow path's trick — pads its 8-wide minor dim to 128 under TPU
-        # tiling: ~32 GB at B=1024 under a 64-query vmap). A valid slot's
-        # virtual cell has nonzero segment count, which then equals
-        # counts[cell] (interior slot -> interior cell and vice versa).
-        scs_j = jnp.where(is_bnd, scs_bnd[cellv], scs_int[cellv])
-        cnt_j = counts[cellv]
-        bucket_begin = scs_j - cnt_j
-        rows = starts[cellv] + (j - bucket_begin)
-        slot0 = cellv // B                            # [Q] probed-rank ids
-        slot1 = cellv % B
+        kr = _row_k(d_stop, strict=False)   # cells (incl. empty) <= theta
+        kl = _row_k(d_stop, strict=True)    # strictly-cheaper (interior)
+        c_all = jnp.where(kr > 0, Pf[rowa * B + jnp.maximum(kr - 1, 0)], 0)
+        c_int = jnp.where(kl > 0, Pf[rowa * B + jnp.maximum(kl - 1, 0)], 0)
+        c_bnd = c_all - c_int
+        total = jnp.sum(c_all)
+        n_cells = jnp.sum(kr)
+        # Slot layout: interior candidates first (their total is < quota
+        # <= Q by construction, so the Q clip can never drop one),
+        # boundary (== theta) candidates after — preserving the sorted
+        # path's property that only crossing-cell members are ever
+        # clipped. Within a segment, slots fill row-major; the SET, not
+        # the order, feeds the ADC top-K.
+        int_begin = jnp.cumsum(c_int) - c_int             # [B] absolute
+        n_int = jnp.sum(c_int)
+        bnd_begin = n_int + jnp.cumsum(c_bnd) - c_bnd     # [B] absolute
+        begins = jnp.concatenate([int_begin, bnd_begin])  # [2B] ascending
+
+        def _first_gt(table, base, width_bits, tgt):
+            """Per slot: first index i in [0, size] with table[base + i]
+            > tgt, where size = 1 << (width_bits - 1); index size acts as
+            a virtual +inf sentinel (no such in-range entry)."""
+            size = jnp.int32(1) << (width_bits - 1)
+            lo = jnp.zeros_like(tgt)
+            hi = jnp.full_like(tgt, size)
+
+            def stp(_, lh):
+                lo_, hi_ = lh
+                mid = (lo_ + hi_) // 2
+                # Spare iterations after converging at mid=size: clamp the
+                # read and force the left branch (sentinel is > tgt).
+                v = table[base + jnp.minimum(mid, size - 1)]
+                gt = (v > tgt) | (mid >= size)
+                return (jnp.where(gt, lo_, mid + 1),
+                        jnp.where(gt, mid, hi_))
+
+            lo, hi = jax.lax.fori_loop(0, width_bits, stp, (lo, hi))
+            return lo
+
+        # Virtual row (interior rows then boundary rows): the last entry
+        # of ``begins`` <= j. Zero-count rows share their successor's
+        # begin and are skipped by the search automatically.
+        v_j = jnp.maximum(
+            _first_gt(begins, jnp.zeros_like(j), (2 * B).bit_length(), j)
+            - 1, 0)
+        is_bnd = v_j >= B
+        a_j = jnp.minimum(jnp.where(is_bnd, v_j - B, v_j), B - 1)
+        # Candidate offset within row a's ALL-cells cumulative: interior
+        # slots index the strict-prefix candidates directly; boundary
+        # slots continue after the row's interior count.
+        base_off = jnp.where(is_bnd, c_int[a_j], 0) + (j - begins[v_j])
+        # Containing cell: first b with P[a, b] > offset (skips empties).
+        b_j = jnp.minimum(
+            _first_gt(Pf, a_j * B, int(B).bit_length(), base_off), B - 1)
+        j_in_bucket = base_off - jnp.where(
+            b_j > 0, Pf[a_j * B + jnp.maximum(b_j - 1, 0)], 0)
+        cid_j = i0[a_j] * V + i1[b_j]                     # [Q] cell ids
+        if cell_start is None:
+            start_j = jnp.searchsorted(cells_sorted, cid_j,
+                                       side="left").astype(jnp.int32)
+        else:
+            start_j = cell_start[cid_j]
+        rows = start_j + j_in_bucket
+        slot0 = a_j                                   # [Q] probed-rank ids
+        slot1 = b_j
     grid_ok = d_stop <= out_grid_min
     valid = j < jnp.minimum(total, Q)
     rows = jnp.where(valid, rows, 0)

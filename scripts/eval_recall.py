@@ -114,6 +114,8 @@ def main():
           file=sys.stderr, flush=True)
     model = LOPQModel(V=args.V, M=args.M, subquantizer_clusters=256)
     model.fit(train, n_init=1, random_state=0)
+    print(f"[{time.time()-t0:.0f}s] trained; building queries",
+          file=sys.stderr, flush=True)
 
     # Non-streaming keeps the single-seed dataset of earlier rounds
     # (artifact comparability); streaming regenerates per-chunk seeds.
@@ -247,6 +249,8 @@ def main():
               if args.probe_widths else [args.probe_width or 0])
     quotas = ([int(q) for q in args.quotas.split(",")]
               if args.quotas else [args.quota])
+    print(f"[{time.time()-t0:.0f}s] packing index ({args.n} codes)",
+          file=sys.stderr, flush=True)
     s = LOPQSearcherTPU(model)
     s.add_codes((coarse, fine), ids=list(range(args.n)))
     for quota in quotas:
