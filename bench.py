@@ -18,6 +18,7 @@ Target (BASELINE.md): p50 < 10 ms. Prints ONE JSON line to stdout.
 """
 
 import argparse
+import functools
 import json
 import os
 import sys
@@ -512,6 +513,80 @@ def bench_serving(args, n_threads=4, reqs_per_thread=10):
     }))
 
 
+def bench_probe(args):
+    """Per-rung device latency of the adaptive probe ladder: ms/query at
+    each B in {64, 256, 1024} on the same index, measured with the
+    chained-scan methodology of the headline query mode. Evidence that
+    escalated (wide) rungs stay affordable — the reference's
+    probe-until-quota walk (lopq/lopq/search.py:110-135) has no width
+    cap, so the ladder's top rung bounds the rebuild's worst case."""
+    import jax
+    import jax.numpy as jnp
+
+    from columbiaimagesearch_tpu.index.csr import build_csr_device
+    from columbiaimagesearch_tpu.index.tpu_query import (
+        lopq_query,
+        probe_ladder,
+    )
+    from columbiaimagesearch_tpu.utils.chunking import round_up
+
+    t0 = time.time()
+    model, (Cs, Rs, mus, subs), coarse, fine, make, key = setup_index(
+        args, t0)
+    log(f"[{time.time()-t0:.1f}s] building CSR index on device")
+    codes, cell_start, order = build_csr_device(coarse, fine, args.V)
+    jax.block_until_ready(cell_start)
+
+    Q = round_up(args.quota + 1024, 1024)
+    K = round_up(args.limit, 16)
+    quota = jnp.asarray(args.quota, dtype=jnp.int32)
+    nq = args.queries_per_batch
+    index_args = (Cs, Rs, mus, subs, codes, cell_start, quota)
+    rung_ms = {}
+    for B in probe_ladder(args.V):
+
+        @functools.partial(jax.jit, static_argnames=("B",))
+        def run_batch(queries, Cs, Rs, mus, subs, codes, cell_start,
+                      quota, B):
+            def step(carry, q):
+                rows, dists, total, nc, ok = lopq_query(
+                    q + carry * 1e-12, Cs, Rs, mus, subs, codes,
+                    cell_start, quota, V=args.V, B=B, Q=Q, K=K,
+                    lut_impl="auto")
+                return dists[0], (rows[:args.limit], dists[:args.limit])
+            last, outs = jax.lax.scan(step, jnp.float32(0), queries)
+            return last, outs
+
+        key, kq = jax.random.split(key)
+        warm = make(nq, kq)
+        log(f"[{time.time()-t0:.1f}s] compiling rung B={B}")
+        jax.block_until_ready(run_batch(warm, *index_args, B=B)[0])
+        per_batch = []
+        for i in range(args.batches):
+            key, kq = jax.random.split(key)
+            queries = make(nq, kq)
+            jax.block_until_ready(queries)
+            s = time.perf_counter()
+            last, _ = run_batch(queries, *index_args, B=B)
+            jax.block_until_ready(last)
+            per_batch.append((time.perf_counter() - s) / nq * 1000.0)
+            log(f"[{time.time()-t0:.1f}s] B={B} batch {i}: "
+                f"{per_batch[-1]:.3f} ms/query")
+        rung_ms[B] = round(float(np.median(per_batch)), 3)
+
+    top = max(rung_ms)
+    baseline_ms = 10.0  # headline target: <10 ms even at the widest rung
+    print(json.dumps({
+        "metric": f"probe_rung_latency_{args.index_size >> 20}Mi_index",
+        "value": rung_ms[top],
+        "unit": "ms/query (widest rung)",
+        "vs_baseline": round(baseline_ms / rung_ms[top], 2),
+        "extra": {"rung_ms": {str(b): v for b, v in rung_ms.items()},
+                  "quota": args.quota,
+                  "queries_per_batch": nq},
+    }))
+
+
 def bench_train(args):
     """LOPQ training throughput: fit the production config (V=4096, M=8,
     S=256) on --train-size synthetic vectors and report wall-clock. The
@@ -582,13 +657,14 @@ def main():
     ap.add_argument("--queries-per-batch", type=int, default=100)
     ap.add_argument("--mode",
                     choices=["query", "extraction", "extraction-e2e",
-                             "searcher", "serving", "train"],
+                             "searcher", "serving", "train", "probe"],
                     default="query",
                     help="query: p50 ADC latency (headline); extraction: "
                          "device-path Sentibank images/sec/chip; "
                          "extraction-e2e: encoded JPEGs -> process_batch -> "
                          "img/s; searcher: e2e p50 through the production "
-                         "SearcherLOPQ class")
+                         "SearcherLOPQ class; probe: per-rung latency of "
+                         "the adaptive probe ladder")
     args = ap.parse_args()
 
     if args.mode == "extraction":
@@ -601,6 +677,8 @@ def main():
         return bench_serving(args)
     if args.mode == "train":
         return bench_train(args)
+    if args.mode == "probe":
+        return bench_probe(args)
 
     import jax
     import jax.numpy as jnp

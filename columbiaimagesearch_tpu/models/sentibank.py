@@ -301,14 +301,32 @@ class SentibankFeaturizer:
         (GenericSearcher._serve_batch) avoid the per-row slice dispatches
         entirely; ``featurize_buffers_device`` slices for the legacy
         contract."""
-        import jax.numpy as jnp
+        stack, status = self.decode_wave(buffers)
+        feats, n = self.featurize_pixel_wave(stack)
+        return feats, n, status
 
+    def decode_wave(self, buffers):
+        """Host half of :meth:`featurize_wave`: decode+resize only,
+        returning ([n, T, T, 3] uint8 host pixels, status). Running this
+        in the SERVER HANDLER thread (GenericSearcher._prepare_request)
+        instead of the coalescer worker pipelines request decode with the
+        previous wave's device time, and on multi-core hosts also
+        parallelizes it across handler threads — the coalesced wave then
+        carries only pixels and the device dispatch."""
         from columbiaimagesearch_tpu.models.preprocess import TARGET
         from columbiaimagesearch_tpu.native import decode_resize_batch
+
+        return decode_resize_batch(buffers, TARGET,
+                                   dct_scale=self.dct_scale)
+
+    def featurize_pixel_wave(self, stack):
+        """Device half of :meth:`featurize_wave`: pad decoded pixels to
+        the wave bucket and run the one fused preprocess+forward program.
+        Returns (feats [nb, 4096] device, n valid rows)."""
+        import jax.numpy as jnp
+
         from columbiaimagesearch_tpu.utils.chunking import wave_bucket
 
-        stack, status = decode_resize_batch(buffers, TARGET,
-                                            dct_scale=self.dct_scale)
         n = len(stack)
         nb = wave_bucket(n)
         if nb != n:
@@ -318,7 +336,7 @@ class SentibankFeaturizer:
         params = self._params_bf16 if bf16 else self.params
         feats = sentibank_features_fused(params, stack,
                                          jnp.asarray(self.mean), bf16=bf16)
-        return feats, n, status
+        return feats, n
 
     def _forward(self, x):
         return np.asarray(self._forward_device(x))

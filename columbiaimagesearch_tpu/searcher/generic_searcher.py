@@ -172,7 +172,20 @@ class GenericSearcher:
             dets.append((sha1, image if push_img else None))
             buf.seek(0)
             bufs.append(buf.read())
-        return {"dets": dets, "bufs": bufs, "options": options_dict}
+        request = {"dets": dets, "bufs": bufs, "options": options_dict}
+        # Decode in THIS (handler) thread when the featurizer supports the
+        # split wave: the coalesced device wave then carries pixels only,
+        # so request decode overlaps the previous wave's device time (and
+        # parallelizes across handler threads on multi-core hosts) instead
+        # of serializing inside the coalescer worker.
+        if bufs and hasattr(self.featurizer, "decode_wave"):
+            try:
+                pixels, status = self.featurizer.decode_wave(bufs)
+                if all(int(s) == 0 for s in status):
+                    request["pixels"] = pixels
+            except Exception:  # noqa: BLE001 — buffers route recovers
+                pass
+        return request
 
     def _featurize_bufs(self, bufs, use_device):
         """One batched featurize for ``bufs`` with the per-image fallback
@@ -296,7 +309,21 @@ class GenericSearcher:
             if (use_device and self.detector is None
                     and hasattr(self.featurizer, "featurize_wave")):
                 try:
-                    w, n_w, status = self.featurizer.featurize_wave(flat)
+                    if (hasattr(self.featurizer, "featurize_pixel_wave")
+                            and all("pixels" in requests[ri]
+                                    for ri in rids)):
+                        # Pixels were decoded in the handler threads
+                        # (_prepare_request): the wave is device-only.
+                        import numpy as np
+
+                        stack = np.concatenate(
+                            [requests[ri]["pixels"] for ri in rids])
+                        w, n_w = self.featurizer.featurize_pixel_wave(
+                            stack)
+                        status = [0] * n_w
+                    else:
+                        w, n_w, status = self.featurizer.featurize_wave(
+                            flat)
                 except Exception:  # noqa: BLE001 — ladder below recovers
                     status = [1]
                 if all(int(s) == 0 for s in status):

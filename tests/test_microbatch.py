@@ -261,3 +261,26 @@ def test_serve_batch_isolates_bad_request(serving_pair):
     assert "bad" in errors
     block = results["good"]["AllSimilarImages"][0]["SimilarImages"]
     assert len(block["ImageSha1s"]) > 0
+
+
+def test_wave_uses_handler_decoded_pixels(serving_pair):
+    """Request decode runs in the handler thread (_prepare_request
+    attaches "pixels"), so the device wave takes the pixel route
+    (featurize_pixel_wave) instead of re-decoding inside the coalescer
+    worker — and the response is identical to the sequential searcher's."""
+    seq, coal, paths = serving_pair
+    opts = {"max_returned": 3}
+    calls = []
+    orig = coal.featurizer.featurize_pixel_wave
+
+    def counting(stack):
+        calls.append(len(stack))
+        return orig(stack)
+
+    coal.featurizer.featurize_pixel_wave = counting
+    try:
+        out = coal.search_image_path_list([paths[0]], dict(opts))
+    finally:
+        coal.featurizer.featurize_pixel_wave = orig
+    assert calls, "coalesced wave did not take the pixel route"
+    assert out == seq.search_image_path_list([paths[0]], dict(opts))
