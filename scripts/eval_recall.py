@@ -259,9 +259,27 @@ def main():
             label_w = "adaptive" if not w else str(w)
             print(f"[{time.time()-t0:.0f}s] probed search B={label_w} "
                   f"quota={quota}", file=sys.stderr, flush=True)
-            recall(lambda q: [r.id for r in
-                              s.search(q, quota=quota, limit=100)[0]],
-                   f"probed_quota{quota}", {"probe_width": label_w})
+            # One batched wave per sweep (the serving path): at 100M with
+            # 6 sweeps the per-query loop paid 600 sequential dispatches
+            # + relay syncs; search_batch runs each sweep as one device
+            # wave with host-side escalation.
+            t_q = time.perf_counter()
+            outs = s.search_batch(np.asarray(queries), quota=quota,
+                                  limit=100, with_codes=False)
+            dt = (time.perf_counter() - t_q) / len(queries)
+            hits = {1: 0, 10: 0, 100: 0}
+            for qi, (res, _visited) in enumerate(outs):
+                ids = [r.id for r in res]
+                for k in hits:
+                    if nns[qi] in ids[:k]:
+                        hits[k] += 1
+            row = {"method": f"probed_quota{quota}",
+                   **{f"recall@{k}": hits[k] / len(queries)
+                      for k in hits},
+                   "ms_per_query_e2e_host": round(dt * 1e3, 2),
+                   "batched": True, "probe_width": label_w}
+            runs.append(row)
+            print(json.dumps(row))
 
     # Probed + exact-feature rerank (the production configuration:
     # reference searcher_lopqhbase reranking path).
