@@ -252,7 +252,7 @@ def main():
     print(f"[{time.time()-t0:.0f}s] packing index ({args.n} codes)",
           file=sys.stderr, flush=True)
     s = LOPQSearcherTPU(model)
-    s.add_codes((coarse, fine), ids=list(range(args.n)))
+    s.add_codes((coarse, fine))  # default ids = row index (no 100M list)
     for quota in quotas:
         for w in widths:
             s.probe_width = w or None
