@@ -270,11 +270,46 @@ class SentibankFeaturizer:
         x = self._preprocess(imgs, self.mean)
         return self._forward(x)
 
+    #: Chunk size for the pipelined buffers path. 256 keeps the H2D
+    #: stack under ~50 MB while leaving enough per-chunk work to hide
+    #: decode behind the device round trip.
+    PIPELINE_CHUNK = 256
+
     def featurize_buffers(self, buffers):
         """Encoded JPEG/PNG buffers -> ([N, 4096] feats, status[N]);
-        native parallel decode feeding one device pass."""
-        feats, status = self.featurize_buffers_device(buffers)
-        return np.asarray(feats), status
+        native parallel decode feeding one device pass.
+
+        Large batches run a double-buffered pipeline: a decode-ahead
+        thread decodes chunk i+1 while chunk i's pixels upload and run on
+        device. Decode and the device round trip were measured equal-cost
+        serial stages in the e2e extraction bench (decode 3.3s, H2D+
+        forward 3.5s for 512 images on the 1-core dev box); overlapping
+        them approaches the max of the two. The native decode releases
+        the GIL, so the overlap holds even on a single host core —
+        decode runs while the main thread waits on the device."""
+        n = len(buffers)
+        chunk = self.PIPELINE_CHUNK
+        if n <= chunk:
+            feats, status = self.featurize_buffers_device(buffers)
+            return np.asarray(feats), status
+        from concurrent.futures import ThreadPoolExecutor
+
+        waves, status_all = [], []
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fut = pool.submit(self.decode_wave, buffers[:chunk])
+            i = 0
+            while i < n:
+                stack, status = fut.result()
+                nxt = i + chunk
+                if nxt < n:
+                    fut = pool.submit(self.decode_wave,
+                                      buffers[nxt:nxt + chunk])
+                feats_d, nv = self.featurize_pixel_wave(stack)
+                waves.append((feats_d, nv))  # async; D2H deferred
+                status_all.extend(status)
+                i = nxt
+        feats = np.concatenate([np.asarray(f)[:nv] for f, nv in waves])
+        return feats, status_all
 
     def featurize_buffers_device(self, buffers):
         """Like :meth:`featurize_buffers` but the features STAY on device

@@ -151,3 +151,34 @@ def test_load_torch_weights_matches(nets):
     f1 = np.asarray(sentibank_features(params, x))
     f2 = np.asarray(sentibank_features(params2, x))
     np.testing.assert_allclose(f1, f2, rtol=1e-5, atol=1e-5)
+
+
+def test_featurize_buffers_pipelined_matches_single_wave():
+    """Batches past PIPELINE_CHUNK take the decode-ahead double-buffered
+    path; features and per-image status must match the one-wave path
+    chunk-for-chunk, including a decode failure mid-batch."""
+    import io
+
+    from PIL import Image
+
+    rng = np.random.RandomState(4)
+    f = SentibankFeaturizer(seed=0)
+    bufs = []
+    for i in range(7):
+        img = rng.randint(0, 255, (60, 50, 3), dtype=np.uint8)
+        b = io.BytesIO()
+        Image.fromarray(img).save(b, format="JPEG", quality=90)
+        bufs.append(b.getvalue())
+    bufs[4] = b"not an image"
+    bufs = bufs * 2  # 14 buffers, failures at 4 and 11
+    old_chunk = SentibankFeaturizer.PIPELINE_CHUNK
+    SentibankFeaturizer.PIPELINE_CHUNK = 3  # force >1 pipeline chunks
+    try:
+        feats_p, status_p = f.featurize_buffers(bufs)
+    finally:
+        SentibankFeaturizer.PIPELINE_CHUNK = old_chunk
+    feats_1, status_1 = f.featurize_buffers(bufs)
+    assert [int(s) for s in status_p] == [int(s) for s in status_1]
+    assert sum(1 for s in status_p if int(s) != 0) == 2
+    np.testing.assert_allclose(np.asarray(feats_p), np.asarray(feats_1),
+                               rtol=2e-3, atol=2e-3)
