@@ -543,7 +543,7 @@ def bench_probe(args):
     nq = args.queries_per_batch
     index_args = (Cs, Rs, mus, subs, codes, cell_start, quota)
     rung_ms = {}
-    for B in probe_ladder(args.V):
+    for B in probe_ladder(args.V, args.probe_width):
 
         @functools.partial(jax.jit, static_argnames=("B",))
         def run_batch(queries, Cs, Rs, mus, subs, codes, cell_start,

@@ -42,7 +42,11 @@ def _codes_to_arrays(codes, ids, V, S):
         fine = np.asarray([c[1] for c in codes], dtype=code_dtype_for(S))
     n = coarse.shape[0]
     if ids is None:
-        ids_arr = np.arange(n, dtype=object)
+        # Identity ids stay an int64 arange — boxing 100M row indices
+        # into an object array costs ~3.6 GB and tens of seconds; numpy
+        # int ids concatenate fine with object arrays from later
+        # explicit-id adds.
+        ids_arr = np.arange(n)
     else:
         ids_arr = ids_to_object_array(ids, n)
     return coarse, fine, ids_arr

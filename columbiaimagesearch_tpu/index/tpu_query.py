@@ -365,13 +365,13 @@ def lopq_query(
         bnd_begin = n_int + jnp.cumsum(c_bnd) - c_bnd     # [B] absolute
         begins = jnp.concatenate([int_begin, bnd_begin])  # [2B] ascending
 
-        def _first_gt(table, base, width_bits, tgt):
+        def _first_gt(table, base, size, tgt):
             """Per slot: first index i in [0, size] with table[base + i]
-            > tgt, where size = 1 << (width_bits - 1); index size acts as
-            a virtual +inf sentinel (no such in-range entry)."""
-            size = jnp.int32(1) << (width_bits - 1)
+            > tgt; index size acts as a virtual +inf sentinel (no such
+            in-range entry). ``size`` is a static host int (works for
+            non-power-of-two B — e.g. a top rung clamped to V)."""
             lo = jnp.zeros_like(tgt)
-            hi = jnp.full_like(tgt, size)
+            hi = jnp.full_like(tgt, jnp.int32(size))
 
             def stp(_, lh):
                 lo_, hi_ = lh
@@ -383,14 +383,15 @@ def lopq_query(
                 return (jnp.where(gt, lo_, mid + 1),
                         jnp.where(gt, mid, hi_))
 
-            lo, hi = jax.lax.fori_loop(0, width_bits, stp, (lo, hi))
+            lo, hi = jax.lax.fori_loop(0, int(size).bit_length(), stp,
+                                       (lo, hi))
             return lo
 
         # Virtual row (interior rows then boundary rows): the last entry
         # of ``begins`` <= j. Zero-count rows share their successor's
         # begin and are skipped by the search automatically.
         v_j = jnp.maximum(
-            _first_gt(begins, jnp.zeros_like(j), (2 * B).bit_length(), j)
+            _first_gt(begins, jnp.zeros_like(j), 2 * B, j)
             - 1, 0)
         is_bnd = v_j >= B
         a_j = jnp.minimum(jnp.where(is_bnd, v_j - B, v_j), B - 1)
@@ -400,7 +401,7 @@ def lopq_query(
         base_off = jnp.where(is_bnd, c_int[a_j], 0) + (j - begins[v_j])
         # Containing cell: first b with P[a, b] > offset (skips empties).
         b_j = jnp.minimum(
-            _first_gt(Pf, a_j * B, int(B).bit_length(), base_off), B - 1)
+            _first_gt(Pf, a_j * B, B, base_off), B - 1)
         j_in_bucket = base_off - jnp.where(
             b_j > 0, Pf[a_j * B + jnp.maximum(b_j - 1, 0)], 0)
         cid_j = i0[a_j] * V + i1[b_j]                     # [Q] cell ids

@@ -177,8 +177,13 @@ class GenericSearcher:
         # split wave: the coalesced device wave then carries pixels only,
         # so request decode overlaps the previous wave's device time (and
         # parallelizes across handler threads on multi-core hosts) instead
-        # of serializing inside the coalescer worker.
-        if bufs and hasattr(self.featurizer, "decode_wave"):
+        # of serializing inside the coalescer worker. Gated on the device
+        # wave route actually serving this request — otherwise
+        # _serve_batch's fallback (_featurize_bufs) would decode a second
+        # time and the pixels would be dead weight.
+        if (bufs and hasattr(self.featurizer, "decode_wave")
+                and hasattr(self.featurizer, "featurize_pixel_wave")
+                and self._use_device_feats(options_dict)):
             try:
                 pixels, status = self.featurizer.decode_wave(bufs)
                 if all(int(s) == 0 for s in status):

@@ -209,3 +209,31 @@ def test_wide_v_threshold_escalation():
     np.testing.assert_allclose(
         [r.dist for r in r_dev], [r.dist for r in r_host],
         rtol=1e-3, atol=1e-4)
+
+
+def test_non_power_of_two_wide_rung_matches_host():
+    """A wide rung clamped to a non-power-of-two V (B=300, G=90000) must
+    still select the exact host-walk prefix — regression for binary-search
+    range math that assumed power-of-two sizes (a 1 << (bits-1) range
+    covered only 512 of 600 virtual rows and 256 of 300 row cells,
+    silently mis-mapping candidates in high split ranks)."""
+    rng = np.random.RandomState(11)
+    V, M, S, D = 300, 4, 16, 32
+    params = random_params(rng, V=V, M=M, S=S, D=D)
+    model = LOPQModel(parameters=params)
+    n = 5000
+    coarse = rng.randint(0, V, (n, 2))
+    fine = rng.randint(0, S, (n, M))
+    ids = [f"t_{i}" for i in range(n)]
+    st = LOPQSearcherTPU(model, probe_width=300)
+    st.add_codes((coarse, fine), ids)
+    sh = LOPQSearcher(model)
+    sh.add_codes((coarse, fine), ids)
+    for qi in range(3):
+        q = rng.randn(D).astype(np.float32)
+        rt, _ = st.search(q, quota=2000, limit=10, with_dists=True)
+        rh, _ = sh.search(q, quota=2000, limit=10, with_dists=True)
+        assert [r.id for r in rt] == [r.id for r in rh]
+        np.testing.assert_allclose([float(r.dist) for r in rt],
+                                   [float(r.dist) for r in rh],
+                                   rtol=1e-5)
