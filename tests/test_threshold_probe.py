@@ -237,3 +237,37 @@ def test_non_power_of_two_wide_rung_matches_host():
         np.testing.assert_allclose([float(r.dist) for r in rt],
                                    [float(r.dist) for r in rh],
                                    rtol=1e-5)
+
+
+def test_wide_rung_randomized_property_sweep():
+    """Randomized full-grid (B=V) configs — skewed cell mass, odd
+    non-power-of-two V, quotas from 1 to 10x the index — must match the
+    host walk exactly; grid-restricted runs must rank a subset of it."""
+    from columbiaimagesearch_tpu.index.model import LOPQModel as _M
+
+    for seed in (3, 5, 7, 9):
+        rng = np.random.RandomState(seed)
+        V = int(rng.choice([130, 200, 300]))
+        M, S, D = 4, 16, 32
+        model = _M(parameters=random_params(rng, V=V, M=M, S=S, D=D))
+        n = int(rng.choice([200, 3000]))
+        if seed % 2:  # fat cells: many rows concentrated in few cells
+            coarse = np.stack([rng.randint(0, max(2, V // 20), n),
+                               rng.randint(0, V, n)], 1)
+        else:
+            coarse = rng.randint(0, V, (n, 2))
+        fine = rng.randint(0, S, (n, M))
+        ids = [f"t_{i}" for i in range(n)]
+        st = LOPQSearcherTPU(model, probe_width=V)  # full grid, wide path
+        st.add_codes((coarse, fine), ids)
+        sh = LOPQSearcher(model)
+        sh.add_codes((coarse, fine), ids)
+        for quota in (1, 7, n, 10 * n):
+            q = rng.randn(D).astype(np.float32)
+            rt, _ = st.search(q, quota=quota, limit=10, with_dists=True)
+            rh, _ = sh.search(q, quota=quota, limit=10, with_dists=True)
+            assert [r.id for r in rt] == [r.id for r in rh], (
+                seed, V, n, quota)
+            np.testing.assert_allclose([float(r.dist) for r in rt],
+                                       [float(r.dist) for r in rh],
+                                       rtol=1e-4)
