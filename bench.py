@@ -380,12 +380,24 @@ def bench_serving(args, n_threads=4, reqs_per_thread=10):
         x = synth(k, jnp.zeros((n,), jnp.int8))
         return x / jnp.linalg.norm(x, axis=1, keepdims=True)
 
+    # The synthetic dataset, fit, and encode are fully seed-deterministic,
+    # so consecutive serving benches (no-rerank / rerank / coalesce) can
+    # share one setup via an on-disk cache — saves ~10 min of TPU time
+    # per extra mode. Delete /tmp/bench_serving_cache_* to force a refit.
+    cache = f"/tmp/bench_serving_cache_V{args.V}_M{args.M}_n{n_index}"
     key, k2 = jax.random.split(key)
-    train = np.asarray(make(50_000, k2))
-    log(f"[{time.time()-t0:.0f}s] fitting lopq_pca pca{PCA_D} V={args.V}")
-    model = LOPQModelPCA(V=args.V, M=args.M, subquantizer_clusters=256)
-    model.fit(train, pca_dims=PCA_D, kmeans_coarse_iters=10,
-              kmeans_local_iters=10, n_init=1, random_state=0)
+    if os.path.exists(cache + ".model.npz") and os.path.exists(
+            cache + ".codes.npz"):
+        log(f"[{time.time()-t0:.0f}s] loading cached serving setup "
+            f"({cache})")
+        model = LOPQModelPCA.load_npz(cache + ".model.npz")
+    else:
+        train = np.asarray(make(50_000, k2))
+        log(f"[{time.time()-t0:.0f}s] fitting lopq_pca pca{PCA_D} "
+            f"V={args.V}")
+        model = LOPQModelPCA(V=args.V, M=args.M, subquantizer_clusters=256)
+        model.fit(train, pca_dims=PCA_D, kmeans_coarse_iters=10,
+                  kmeans_local_iters=10, n_init=1, random_state=0)
 
     # device-side PCA projection + encode, chunked
     P = jnp.asarray(model.pca_P)
@@ -401,25 +413,36 @@ def bench_serving(args, n_threads=4, reqs_per_thread=10):
         xp = jnp.dot(x - mu[None, :], P, precision="highest")
         return xp / jnp.linalg.norm(xp, axis=1, keepdims=True)
 
-    chunk = 1 << 17
-    co_parts, fi_parts, feat_parts = [], [], []
-    done = 0
-    while done < n_index:
-        n = round_up(min(chunk, n_index - done), 4096)
-        key, kc = jax.random.split(key)
-        xb = project(make(n, kc))
-        co, fi = lopq_encode(Cs, Rs, mus, subs, xb, chunk=4096)
-        co_parts.append(np.asarray(co))
-        fi_parts.append(np.asarray(fi))
-        if args.rerank:
-            # Keep the index-space (post-PCA) features for the
-            # device-resident exact rerank store.
+    if os.path.exists(cache + ".codes.npz"):
+        z = np.load(cache + ".codes.npz")
+        coarse, fine = z["coarse"], z["fine"]
+        feats = z["feats"] if args.rerank else None
+        log(f"[{time.time()-t0:.0f}s] loaded {len(coarse)} cached codes")
+    else:
+        chunk = 1 << 17
+        co_parts, fi_parts, feat_parts = [], [], []
+        done = 0
+        while done < n_index:
+            n = round_up(min(chunk, n_index - done), 4096)
+            key, kc = jax.random.split(key)
+            xb = project(make(n, kc))
+            co, fi = lopq_encode(Cs, Rs, mus, subs, xb, chunk=4096)
+            co_parts.append(np.asarray(co))
+            fi_parts.append(np.asarray(fi))
+            # Index-space (post-PCA) features: cached unconditionally so a
+            # later --rerank run can reuse this setup for its device-
+            # resident exact rerank store.
             feat_parts.append(np.asarray(xb))
-        done += n
-        log(f"[{time.time()-t0:.0f}s] encoded {min(done, n_index)}/{n_index}")
-    coarse = np.concatenate(co_parts)[:n_index]
-    fine = np.concatenate(fi_parts)[:n_index]
-    feats = (np.concatenate(feat_parts)[:n_index] if args.rerank else None)
+            done += n
+            log(f"[{time.time()-t0:.0f}s] encoded "
+                f"{min(done, n_index)}/{n_index}")
+        coarse = np.concatenate(co_parts)[:n_index]
+        fine = np.concatenate(fi_parts)[:n_index]
+        feats_all = np.concatenate(feat_parts)[:n_index]
+        model.export_npz(cache + ".model.npz")
+        np.savez(cache + ".codes.npz", coarse=coarse, fine=fine,
+                 feats=feats_all)
+        feats = feats_all if args.rerank else None
 
     searcher = SearcherLOPQ(
         model=model, model_type="lopq_pca", V=args.V, M=args.M,
