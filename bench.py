@@ -124,7 +124,27 @@ def setup_index(args, t0):
     def make(n, key):
         return synth(key, jnp.zeros((n,), jnp.int8))
 
+    # Seed-deterministic setup: cache model+codes on disk so consecutive
+    # modes over the same index config (query / searcher / probe) skip the
+    # ~6 min train+encode. Delete /tmp/bench_index_cache_* to force.
+    cache = (f"/tmp/bench_index_cache_n{args.index_size}"
+             f"_t{args.train_size}_V{args.V}_M{args.M}_d{args.dim}")
     key, k2 = jax.random.split(key)
+    if os.path.exists(cache + ".model.npz") and os.path.exists(
+            cache + ".codes.npz"):
+        log(f"[{time.time()-t0:.1f}s] loading cached index setup ({cache})")
+        model = LOPQModel.load_npz(cache + ".model.npz")
+        Cs = jnp.stack([jnp.asarray(C) for C in model.Cs])
+        Rs = jnp.stack([jnp.asarray(R) for R in model.Rs])
+        mus = jnp.stack([jnp.asarray(m) for m in model.mus])
+        subs = jnp.stack([jnp.stack([jnp.asarray(s) for s in h])
+                          for h in model.subquantizers])
+        z = np.load(cache + ".codes.npz")
+        coarse = jnp.asarray(z["coarse"])
+        fine = jnp.asarray(z["fine"])
+        log(f"[{time.time()-t0:.1f}s] loaded {len(coarse)} cached codes")
+        return model, (Cs, Rs, mus, subs), coarse, fine, make, key
+
     train = np.asarray(make(args.train_size, k2))
     log(f"[{time.time()-t0:.1f}s] training LOPQ V={args.V} M={args.M} "
         f"on {args.train_size} vectors")
@@ -156,6 +176,9 @@ def setup_index(args, t0):
             f"/{args.index_size}")
     coarse = jnp.concatenate(coarse_parts)[:args.index_size]
     fine = jnp.concatenate(fine_parts)[:args.index_size]
+    model.export_npz(cache + ".model.npz")
+    np.savez(cache + ".codes.npz", coarse=np.asarray(coarse),
+             fine=np.asarray(fine))
     return model, (Cs, Rs, mus, subs), coarse, fine, make, key
 
 
