@@ -559,6 +559,59 @@ def bench_serving(args, n_threads=4, reqs_per_thread=10):
     }))
 
 
+def _chained_query_p50(args, B, make, key, index_args, t0,
+                       label=""):
+    """p50 ms/query of ``lopq_query`` at probe width ``B`` with the
+    chained-scan methodology (N dependency-chained queries inside ONE
+    jit, scalar D2H close; see module docstring). Shared by the headline
+    query mode and the probe-rung sweep. Returns (p50_ms, last_outs,
+    key). The index/model arrays ride as jit ARGUMENTS, not closure
+    captures — captured device arrays are baked into the HLO as
+    constants, which both re-ships them per dispatch and overflows the
+    remote-compile request size at 10M scale."""
+    import functools as _ft
+
+    import jax
+    import jax.numpy as jnp
+
+    from columbiaimagesearch_tpu.index.tpu_query import lopq_query
+    from columbiaimagesearch_tpu.utils.chunking import round_up
+
+    Q = round_up(args.quota + 1024, 1024)
+    K = round_up(args.limit, 16)
+    nq = args.queries_per_batch
+
+    @_ft.partial(jax.jit, static_argnames=("B",))
+    def run_batch(queries, Cs, Rs, mus, subs, codes, cell_start, quota,
+                  B):
+        def step(carry, q):
+            rows, dists, total, nc, ok = lopq_query(
+                q + carry * 1e-12, Cs, Rs, mus, subs, codes, cell_start,
+                quota, V=args.V, B=B, Q=Q, K=K, lut_impl="auto")
+            return dists[0], (rows[:args.limit], dists[:args.limit])
+        last, outs = jax.lax.scan(step, jnp.float32(0), queries)
+        return last, outs
+
+    key, kq = jax.random.split(key)
+    warm = make(nq, kq)
+    log(f"[{time.time()-t0:.1f}s] compiling query ({label}B={B} Q={Q} "
+        f"K={K})")
+    jax.block_until_ready(run_batch(warm, *index_args, B=B)[0])
+    per_batch = []
+    outs = None
+    for i in range(args.batches):
+        key, kq = jax.random.split(key)
+        queries = make(nq, kq)
+        jax.block_until_ready(queries)
+        s = time.perf_counter()
+        last, outs = run_batch(queries, *index_args, B=B)
+        jax.block_until_ready(last)
+        per_batch.append((time.perf_counter() - s) / nq * 1000.0)
+        log(f"[{time.time()-t0:.1f}s] {label}B={B} batch {i}: "
+            f"{per_batch[-1]:.3f} ms/query")
+    return float(np.median(per_batch)), outs, key
+
+
 def bench_probe(args):
     """Per-rung device latency of the adaptive probe ladder: ms/query at
     each B in {64, 256, 1024} on the same index, measured with the
@@ -570,11 +623,7 @@ def bench_probe(args):
     import jax.numpy as jnp
 
     from columbiaimagesearch_tpu.index.csr import build_csr_device
-    from columbiaimagesearch_tpu.index.tpu_query import (
-        lopq_query,
-        probe_ladder,
-    )
-    from columbiaimagesearch_tpu.utils.chunking import round_up
+    from columbiaimagesearch_tpu.index.tpu_query import probe_ladder
 
     t0 = time.time()
     model, (Cs, Rs, mus, subs), coarse, fine, make, key = setup_index(
@@ -583,42 +632,13 @@ def bench_probe(args):
     codes, cell_start, order = build_csr_device(coarse, fine, args.V)
     jax.block_until_ready(cell_start)
 
-    Q = round_up(args.quota + 1024, 1024)
-    K = round_up(args.limit, 16)
     quota = jnp.asarray(args.quota, dtype=jnp.int32)
-    nq = args.queries_per_batch
     index_args = (Cs, Rs, mus, subs, codes, cell_start, quota)
     rung_ms = {}
     for B in probe_ladder(args.V, args.probe_width):
-
-        @functools.partial(jax.jit, static_argnames=("B",))
-        def run_batch(queries, Cs, Rs, mus, subs, codes, cell_start,
-                      quota, B):
-            def step(carry, q):
-                rows, dists, total, nc, ok = lopq_query(
-                    q + carry * 1e-12, Cs, Rs, mus, subs, codes,
-                    cell_start, quota, V=args.V, B=B, Q=Q, K=K,
-                    lut_impl="auto")
-                return dists[0], (rows[:args.limit], dists[:args.limit])
-            last, outs = jax.lax.scan(step, jnp.float32(0), queries)
-            return last, outs
-
-        key, kq = jax.random.split(key)
-        warm = make(nq, kq)
-        log(f"[{time.time()-t0:.1f}s] compiling rung B={B}")
-        jax.block_until_ready(run_batch(warm, *index_args, B=B)[0])
-        per_batch = []
-        for i in range(args.batches):
-            key, kq = jax.random.split(key)
-            queries = make(nq, kq)
-            jax.block_until_ready(queries)
-            s = time.perf_counter()
-            last, _ = run_batch(queries, *index_args, B=B)
-            jax.block_until_ready(last)
-            per_batch.append((time.perf_counter() - s) / nq * 1000.0)
-            log(f"[{time.time()-t0:.1f}s] B={B} batch {i}: "
-                f"{per_batch[-1]:.3f} ms/query")
-        rung_ms[B] = round(float(np.median(per_batch)), 3)
+        p50, _, key = _chained_query_p50(args, B, make, key, index_args,
+                                         t0, label="rung ")
+        rung_ms[B] = round(p50, 3)
 
     top = max(rung_ms)
     baseline_ms = 10.0  # headline target: <10 ms even at the widest rung
@@ -629,7 +649,7 @@ def bench_probe(args):
         "vs_baseline": round(baseline_ms / rung_ms[top], 2),
         "extra": {"rung_ms": {str(b): v for b, v in rung_ms.items()},
                   "quota": args.quota,
-                  "queries_per_batch": nq},
+                  "queries_per_batch": args.queries_per_batch},
     }))
 
 
@@ -730,8 +750,6 @@ def main():
     import jax.numpy as jnp
 
     from columbiaimagesearch_tpu.index.csr import build_csr_device
-    from columbiaimagesearch_tpu.index.tpu_query import lopq_query
-    from columbiaimagesearch_tpu.utils.chunking import round_up
 
     t0 = time.time()
     model, (Cs, Rs, mus, subs), coarse, fine, make, key = setup_index(args, t0)
@@ -740,47 +758,12 @@ def main():
     codes, cell_start, order = build_csr_device(coarse, fine, args.V)
     jax.block_until_ready(cell_start)
 
-    # ---- scan-chained query batches --------------------------------------
+    # ---- scan-chained query batches (shared harness) ---------------------
     B = min(args.probe_width or 64, args.V)
-    Q = round_up(args.quota + 1024, 1024)
-    K = round_up(args.limit, 16)
     quota = jnp.asarray(args.quota, dtype=jnp.int32)
-    nq = args.queries_per_batch
-
-    # NB: the index/model arrays MUST be jit arguments, not closure captures
-    # — captured device arrays are baked into the HLO as constants, which
-    # both re-ships them per dispatch and overflows the remote-compile
-    # request size at 10M scale.
-    @jax.jit
-    def run_batch(queries, Cs, Rs, mus, subs, codes, cell_start, quota):
-        def step(carry, q):
-            rows, dists, total, nc, ok = lopq_query(
-                q + carry * 1e-12, Cs, Rs, mus, subs, codes, cell_start,
-                quota, V=args.V, B=B, Q=Q, K=K, lut_impl="auto")
-            return dists[0], (rows[:args.limit], dists[:args.limit])
-        last, outs = jax.lax.scan(step, jnp.float32(0), queries)
-        return last, outs
-
     index_args = (Cs, Rs, mus, subs, codes, cell_start, quota)
+    p50, outs, key = _chained_query_p50(args, B, make, key, index_args, t0)
 
-    key, kq = jax.random.split(key)
-    warm = make(nq, kq)
-    log(f"[{time.time()-t0:.1f}s] compiling query (B={B} Q={Q} K={K})")
-    jax.block_until_ready(run_batch(warm, *index_args)[0])
-
-    per_batch = []
-    for i in range(args.batches):
-        key, kq = jax.random.split(key)
-        queries = make(nq, kq)
-        jax.block_until_ready(queries)
-        s = time.perf_counter()
-        last, outs = run_batch(queries, *index_args)
-        jax.block_until_ready(last)
-        dt = time.perf_counter() - s
-        per_batch.append(dt / nq * 1000.0)
-        log(f"[{time.time()-t0:.1f}s] batch {i}: {per_batch[-1]:.3f} ms/query")
-
-    p50 = float(np.median(per_batch))
     # Sanity: pull one batch of results to the host (post-timing).
     rows_host = np.asarray(outs[0][-1])
     ids_host = np.asarray(order[rows_host[rows_host >= 0]])
@@ -794,7 +777,6 @@ def main():
         "unit": "ms",
         "vs_baseline": round(baseline_ms / p50, 2),
     }))
-
 
 if __name__ == "__main__":
     main()
