@@ -243,6 +243,10 @@ class LOPQSearcherTPU(LOPQSearcherBase):
         self._mutlock = threading.RLock()
         self._tier_hint = 0  # probe-ladder start rung (see _escalate)
         self._wave_i = 0
+        #: serving observability (surfaced via /status): waves served,
+        #: queries that needed escalation past their wave's start rung,
+        #: current tier hint.
+        self.probe_stats = {"waves": 0, "escalated_queries": 0}
         self._codestore = None
         if codestore_path is not None:
             # Durable native store (native/codestore.cpp): appends persist,
@@ -537,6 +541,8 @@ class LOPQSearcherTPU(LOPQSearcherBase):
             self._tier_hint = max(self._tier_hint, start + 1)
         elif frac_short < 0.1:
             self._tier_hint = start
+        self.probe_stats["waves"] += 1
+        self.probe_stats["escalated_queries"] += int(round(frac_short * n))
         return rows, dists, ncells
 
     def search_batch(self, X, quota=10, limit=None, with_dists=False,

@@ -616,10 +616,18 @@ class SearcherLOPQ(GenericSearcher):
 
     def status(self):
         """(reference: api/api.py:321-338 /status content)"""
-        return {
+        d = {
             "nb_indexed": self.get_nb_indexed(),
             "last_refresh": time.strftime(
                 "%Y-%m-%dT%H:%M:%S", time.localtime(self.last_refresh)),
             "model_str": self.build_model_str(),
             "indexed_updates": len(self.indexed_updates),
         }
+        # Probe-ladder observability (device backends): serving waves,
+        # queries escalated past their start rung, current tier hint.
+        stats = getattr(self.searcher, "probe_stats", None)
+        if stats is not None:
+            d["probe_waves"] = stats["waves"]
+            d["probe_escalated_queries"] = stats["escalated_queries"]
+            d["probe_tier_hint"] = getattr(self.searcher, "_tier_hint", 0)
+        return d

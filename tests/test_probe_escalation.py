@@ -184,3 +184,17 @@ def test_tier_hint_hysteresis(hard_setup):
                                 with_dists=True)[0]
         assert res
     assert s._tier_hint == 0
+
+
+def test_probe_stats_observability(hard_setup):
+    """The device searcher counts serving waves and escalated queries for
+    /status (searcher_lopq.status surfaces them as probe_*)."""
+    model, _params, hard_q, coarse, fine, ids = hard_setup
+    from columbiaimagesearch_tpu.index.searcher import LOPQSearcherTPU
+
+    s = LOPQSearcherTPU(model)
+    s.add_codes((coarse, fine), ids)
+    w0 = s.probe_stats["waves"]
+    s.search_batch(np.stack([hard_q, hard_q]), quota=len(ids), limit=5)
+    assert s.probe_stats["waves"] == w0 + 1
+    assert s.probe_stats["escalated_queries"] >= 0
