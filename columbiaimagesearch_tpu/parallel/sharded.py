@@ -118,6 +118,8 @@ class ShardedLOPQIndex:
         self._n_dev_rows = 0      # rows present in device buffers
         self._dev = None
         self._qfns = {}
+        #: serving observability (see LOPQSearcherTPU.probe_stats)
+        self.probe_stats = {"waves": 0, "escalated_queries": 0}
         self._tier_hint = 0       # probe-ladder start rung (hysteresis,
         self._wave_i = 0          # same policy as LOPQSearcherTPU)
 
@@ -496,6 +498,8 @@ class ShardedLOPQIndex:
             self._tier_hint = max(self._tier_hint, start + 1)
         elif frac_short < 0.1:
             self._tier_hint = start
+        self.probe_stats["waves"] += 1
+        self.probe_stats["escalated_queries"] += int(round(frac_short * nq))
         K_out = min(K, K_emit) if R else K
         out = []
         for i in range(nq):
