@@ -541,8 +541,10 @@ class LOPQSearcherTPU(LOPQSearcherBase):
             self._tier_hint = max(self._tier_hint, start + 1)
         elif frac_short < 0.1:
             self._tier_hint = start
-        self.probe_stats["waves"] += 1
-        self.probe_stats["escalated_queries"] += int(round(frac_short * n))
+        with self._mutlock:
+            self.probe_stats["waves"] += 1
+            self.probe_stats["escalated_queries"] += int(
+                round(frac_short * n))
         return rows, dists, ncells
 
     def search_batch(self, X, quota=10, limit=None, with_dists=False,

@@ -118,8 +118,11 @@ class ShardedLOPQIndex:
         self._n_dev_rows = 0      # rows present in device buffers
         self._dev = None
         self._qfns = {}
+        import threading as _threading
+
         #: serving observability (see LOPQSearcherTPU.probe_stats)
         self.probe_stats = {"waves": 0, "escalated_queries": 0}
+        self._stats_lock = _threading.Lock()
         self._tier_hint = 0       # probe-ladder start rung (hysteresis,
         self._wave_i = 0          # same policy as LOPQSearcherTPU)
 
@@ -498,8 +501,10 @@ class ShardedLOPQIndex:
             self._tier_hint = max(self._tier_hint, start + 1)
         elif frac_short < 0.1:
             self._tier_hint = start
-        self.probe_stats["waves"] += 1
-        self.probe_stats["escalated_queries"] += int(round(frac_short * nq))
+        with self._stats_lock:
+            self.probe_stats["waves"] += 1
+            self.probe_stats["escalated_queries"] += int(
+                round(frac_short * nq))
         K_out = min(K, K_emit) if R else K
         out = []
         for i in range(nq):
@@ -539,6 +544,16 @@ class ShardedLOPQSearcher:
         self._dedup = IncrementalDedup()
         self._mutlock = threading.RLock()
         self.nb_indexed = 0
+
+    @property
+    def probe_stats(self):
+        """Ladder observability, delegated to the sharded index so
+        SearcherLOPQ.status() finds it on the facade too."""
+        return self.index.probe_stats
+
+    @property
+    def _tier_hint(self):
+        return self.index._tier_hint
 
     def add_codes(self, codes, ids=None, feats=None):
         """Array-path insertion: codes is (coarse [n,2], fine [n,M]);

@@ -197,4 +197,6 @@ def test_probe_stats_observability(hard_setup):
     w0 = s.probe_stats["waves"]
     s.search_batch(np.stack([hard_q, hard_q]), quota=len(ids), limit=5)
     assert s.probe_stats["waves"] == w0 + 1
-    assert s.probe_stats["escalated_queries"] >= 0
+    # hard_setup places every row outside the B=64 grid, so both queries
+    # of the wave MUST count as escalated.
+    assert s.probe_stats["escalated_queries"] == 2
