@@ -30,6 +30,15 @@ Result = namedtuple("Result", ["id", "code"])
 ResultDist = namedtuple("Result", ["id", "code", "dist"])
 
 
+def _pyid(v):
+    """Unbox numpy scalars at result assembly so Result.id is always a
+    plain Python value: default identity ids live in an int64 arange (no
+    object boxing at 100M scale, see _normalize_codes), but consumers
+    json.dumps results and expect ``int`` — and the sharded searcher's
+    object-dtype defaults already return Python ints."""
+    return v.item() if isinstance(v, np.generic) else v
+
+
 def _codes_to_arrays(codes, ids, V, S):
     """Normalize codes input: iterable of LOPQCode tuples or array pair."""
     if isinstance(codes, tuple) and len(codes) == 2 and hasattr(codes[0], "ndim"):
@@ -507,7 +516,7 @@ class LOPQSearcherTPU(LOPQSearcherBase):
         for r in np.nonzero(cells_arr == c)[0]:
             coarse = (cdt(cells_arr[r] // V), cdt(cells_arr[r] % V))
             fine = tuple(fdt(v) for v in fine_arr[r])
-            out.append((ids_arr[r], LOPQCode(coarse, fine)))
+            out.append((_pyid(ids_arr[r]), LOPQCode(coarse, fine)))
         return out
 
     # --------------------------------------------------------------- search
@@ -531,17 +540,21 @@ class LOPQSearcherTPU(LOPQSearcherBase):
         from columbiaimagesearch_tpu.index.tpu_query import escalate_probe
 
         ladder = self._probe_ladder()
-        start = min(self._tier_hint, len(ladder) - 1)
-        self._wave_i += 1
-        if start and self._wave_i % self.REPROBE_EVERY == 0:
-            start = 0
+        # Hint/counter reads+writes stay under the lock (concurrent serving
+        # waves would otherwise lose hysteresis updates or skip the
+        # periodic re-probe); the device walk itself runs unlocked.
+        with self._mutlock:
+            start = min(self._tier_hint, len(ladder) - 1)
+            self._wave_i += 1
+            if start and self._wave_i % self.REPROBE_EVERY == 0:
+                start = 0
         rows, dists, ncells, frac_short = escalate_probe(
             run_tier, ladder[start:], n, quota, nb, K_pad)
-        if frac_short > 0.9 and start + 1 < len(ladder):
-            self._tier_hint = max(self._tier_hint, start + 1)
-        elif frac_short < 0.1:
-            self._tier_hint = start
         with self._mutlock:
+            if frac_short > 0.9 and start + 1 < len(ladder):
+                self._tier_hint = max(self._tier_hint, start + 1)
+            elif frac_short < 0.1:
+                self._tier_hint = start
             self.probe_stats["waves"] += 1
             self.probe_stats["escalated_queries"] += int(
                 round(frac_short * n))
@@ -646,9 +659,9 @@ class LOPQSearcherTPU(LOPQSearcherBase):
             mask = (rows >= 0) & np.isfinite(dists)
             sel_ids = ids[rows[mask]]
             if with_dists:
-                return [ResultDist(i, None, d)
+                return [ResultDist(_pyid(i), None, d)
                         for i, d in zip(sel_ids, dists[mask].tolist())]
-            return [Result(i, None) for i in sel_ids]
+            return [Result(_pyid(i), None) for i in sel_ids]
         out = []
         for r, dist in zip(rows, dists):
             if r < 0 or not np.isfinite(dist):
@@ -657,9 +670,9 @@ class LOPQSearcherTPU(LOPQSearcherBase):
             fine = tuple(fdt(v) for v in fine_arr[r])
             code = LOPQCode(coarse, fine)
             if with_dists:
-                out.append(ResultDist(ids[r], code, float(dist)))
+                out.append(ResultDist(_pyid(ids[r]), code, float(dist)))
             else:
-                out.append(Result(ids[r], code))
+                out.append(Result(_pyid(ids[r]), code))
         return out
 
     def search_device_feats(self, feats_dev, quota=10, limit=None,

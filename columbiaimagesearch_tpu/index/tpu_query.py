@@ -674,8 +674,8 @@ def fused_feat_query(X, pca_P, pca_mu, Cs, Rs, mus, subs, codes, cell_start,
     :param R: rerank depth; 0 disables rerank (see lopq_query_rerank)
     :param K_out: with R > 0, rows emitted after the device re-sort
         (0 = all R; see lopq_query_rerank)
-    :returns: [NQ, 2*K+2] packed int32 (or [NQ, 2*(K_out or R)+2] when
-        R > 0; see pack_query_out)
+    :returns: [NQ, 2*K+3] packed int32 (or [NQ, 2*(K_out or R)+3] when
+        R > 0; rows, dists, total, n_cells, grid_ok — see pack_query_out)
     """
     X = X.astype(jnp.float32)
     Xn = X / jnp.maximum(jnp.linalg.norm(X, axis=1, keepdims=True), 1e-30)

@@ -14,15 +14,22 @@ def _get():
     if _lib is None:
         lib = load_library("imgpipe")
         if lib is not None:
-            lib.imgpipe_process_batch_v2.restype = ctypes.c_int
-            lib.imgpipe_process_batch_v2.argtypes = [
-                ctypes.POINTER(ctypes.c_char_p),
-                ctypes.POINTER(ctypes.c_int64),
-                ctypes.c_int, ctypes.c_int,
-                ctypes.POINTER(ctypes.c_uint8),
-                ctypes.POINTER(ctypes.c_int32),
-                ctypes.c_int, ctypes.c_int,
-            ]
+            try:
+                # A stale libimgpipe.so (copied tree / clock skew defeats
+                # the mtime rebuild check) may predate the v2 symbol;
+                # treat it as unavailable so callers hit the PIL fallback
+                # instead of an AttributeError mid-decode.
+                lib.imgpipe_process_batch_v2.restype = ctypes.c_int
+                lib.imgpipe_process_batch_v2.argtypes = [
+                    ctypes.POINTER(ctypes.c_char_p),
+                    ctypes.POINTER(ctypes.c_int64),
+                    ctypes.c_int, ctypes.c_int,
+                    ctypes.POINTER(ctypes.c_uint8),
+                    ctypes.POINTER(ctypes.c_int32),
+                    ctypes.c_int, ctypes.c_int,
+                ]
+            except AttributeError:
+                lib = None
         _lib = lib if lib is not None else False
     return _lib or None
 

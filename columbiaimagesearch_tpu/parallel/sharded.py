@@ -490,18 +490,22 @@ class ShardedLOPQIndex:
             return unpack_query_out(packed[:k], K_emit if R else K_stage)
 
         full_ladder = probe_ladder(V, self.probe_width)
-        start = min(self._tier_hint, len(full_ladder) - 1)
-        self._wave_i += 1
-        if start and self._wave_i % self.REPROBE_EVERY == 0:
-            start = 0  # periodic re-probe lets the hint shift back down
+        # Hint/counter updates under the lock (same policy as
+        # LOPQSearcherTPU._escalate): concurrent waves must not lose
+        # hysteresis updates or skip the periodic re-probe.
+        with self._stats_lock:
+            start = min(self._tier_hint, len(full_ladder) - 1)
+            self._wave_i += 1
+            if start and self._wave_i % self.REPROBE_EVERY == 0:
+                start = 0  # periodic re-probe lets the hint shift back down
         rows_b, dists_b, ncells_b, frac_short = escalate_probe(
             run_tier, full_ladder[start:], nq, quota, nb,
             K_emit if R else K_stage)
-        if frac_short > 0.9 and start + 1 < len(full_ladder):
-            self._tier_hint = max(self._tier_hint, start + 1)
-        elif frac_short < 0.1:
-            self._tier_hint = start
         with self._stats_lock:
+            if frac_short > 0.9 and start + 1 < len(full_ladder):
+                self._tier_hint = max(self._tier_hint, start + 1)
+            elif frac_short < 0.1:
+                self._tier_hint = start
             self.probe_stats["waves"] += 1
             self.probe_stats["escalated_queries"] += int(
                 round(frac_short * nq))

@@ -7,9 +7,11 @@ index on gaussian mixtures; production serves CNN activations — sparse,
 non-negative, anisotropic. This script runs the real pipeline: procedurally
 structured images are synthesized ON DEVICE (gratings + blobs + colored
 noise — varied enough to drive real conv structure), fc7 features come from
-the converter-loaded Sentibank net (the converter is torch-twin validated,
-tests/test_sentibank_weights.py; the pretrained caffemodel itself is
-unreachable offline — documented in docs/PARITY.md), a lopq_pca model is
+the Sentibank topology with RANDOMLY INITIALIZED weights (init_params(0) —
+the pretrained caffemodel is unreachable offline, documented in
+docs/PARITY.md; the converter itself is torch-twin validated separately in
+tests/test_sentibank_weights.py but is NOT exercised here), a lopq_pca
+model is
 fit exactly like the release config's shape (pca 256, M=8, subq 256;
 reference: conf/conf_search_sbpycaffe_release.json:9-15), the features are
 indexed, and recall@{1,10,100} of the probed searcher (default adaptive
@@ -220,10 +222,11 @@ def main():
         "config": {
             "n": args.n, "queries": args.queries, "V": args.V,
             "M": args.M, "pca_dims": args.pca_dims, "quota": args.quota,
-            "feature_source": "sentibank fc7 (converter-loaded "
-                              "deterministic weights; pretrained "
-                              "caffemodel unreachable offline), "
-                              "device-synthesized structured images",
+            "feature_source": "sentibank fc7, randomly initialized "
+                              "(seed 0) topology — NOT pretrained "
+                              "weights (caffemodel unreachable "
+                              "offline); device-synthesized "
+                              "structured images",
             "gt_space": "raw normalized 4096-d (reference eval.py method)",
         },
         "runs": runs,
