@@ -252,6 +252,10 @@ class LOPQSearcherTPU(LOPQSearcherBase):
         self._mutlock = threading.RLock()
         self._tier_hint = 0  # probe-ladder start rung (see _escalate)
         self._wave_i = 0
+        #: EMA of candidates-per-visited-cell at real quota crossings;
+        #: None until the first satisfied wave (rung_floor then falls
+        #: back to the uniform-occupancy prior nb/V^2).
+        self._yield_ema = None
         #: serving observability (surfaced via /status): waves served,
         #: queries that needed escalation past their wave's start rung,
         #: current tier hint.
@@ -532,29 +536,39 @@ class LOPQSearcherTPU(LOPQSearcherBase):
         return probe_ladder(self.model.V, self.probe_width)
 
     def _escalate(self, run_tier, n, quota, nb, K_pad):
-        """Ladder escalation with tier-hint hysteresis: when >90% of a
-        wave's queries blow through the first rung (typical once the index
-        outgrows the narrow grid's candidate reach at the serving quota),
-        later waves start directly at the next rung instead of paying the
-        doomed narrow pass every time."""
-        from columbiaimagesearch_tpu.index.tpu_query import escalate_probe
+        """Ladder escalation with a quota-aware rung floor plus tier-hint
+        hysteresis. The floor (see tpu_query.rung_floor) derives the
+        narrowest plausible starting width from the quota and the
+        observed candidates-per-cell yield, so waves never pay rungs
+        that provably cannot reach the quota; the hint still learns
+        upward when >90% of a wave blows through the starting rung, and
+        every REPROBE_EVERY-th wave restarts from the floor (not rung 0)
+        so the hint can drift back down."""
+        from columbiaimagesearch_tpu.index.tpu_query import (escalate_probe,
+                                                             rung_floor)
 
         ladder = self._probe_ladder()
         # Hint/counter reads+writes stay under the lock (concurrent serving
         # waves would otherwise lose hysteresis updates or skip the
         # periodic re-probe); the device walk itself runs unlocked.
         with self._mutlock:
-            start = min(self._tier_hint, len(ladder) - 1)
+            floor = rung_floor(ladder, quota, nb, self.model.V,
+                               self._yield_ema)
+            start = min(max(self._tier_hint, floor), len(ladder) - 1)
             self._wave_i += 1
-            if start and self._wave_i % self.REPROBE_EVERY == 0:
-                start = 0
-        rows, dists, ncells, frac_short = escalate_probe(
+            if start > floor and self._wave_i % self.REPROBE_EVERY == 0:
+                start = floor
+        rows, dists, ncells, frac_short, yield_obs = escalate_probe(
             run_tier, ladder[start:], n, quota, nb, K_pad)
         with self._mutlock:
             if frac_short > 0.9 and start + 1 < len(ladder):
                 self._tier_hint = max(self._tier_hint, start + 1)
             elif frac_short < 0.1:
                 self._tier_hint = start
+            if yield_obs is not None:
+                self._yield_ema = (yield_obs if self._yield_ema is None
+                                   else 0.7 * self._yield_ema
+                                   + 0.3 * yield_obs)
             self.probe_stats["waves"] += 1
             self.probe_stats["escalated_queries"] += int(
                 round(frac_short * n))
@@ -590,6 +604,7 @@ class LOPQSearcherTPU(LOPQSearcherBase):
             lopq_query_orig,
             lopq_query_rerank,
             pack_query_out,
+            rung_parts,
             unpack_query_out,
         )
         from columbiaimagesearch_tpu.utils.chunking import wave_bucket
@@ -609,18 +624,21 @@ class LOPQSearcherTPU(LOPQSearcherBase):
         K, Q, K_stage, R, K_emit = _query_geometry(quota, limit, nb,
                                                    rerank_nb)
 
-        def run_tier(idx, B):
+        def run_tier(idx, rung):
+            B, SB = rung_parts(rung)
+
             def qfn(q, Cs, Rs, mus, subs, codes, cell_start, order, feats,
                     cells_sorted, qq):
                 if R:
                     rows, dists, total, ncells, ok = lopq_query_rerank(
                         q, feats, Cs, Rs, mus, subs, codes, cell_start,
                         order, qq, cells_sorted, V=V, B=B, Q=Q, K=K_stage,
-                        R=R, K_out=K_emit)
+                        R=R, K_out=K_emit, SB=SB)
                 else:
                     rows, dists, total, ncells, ok = lopq_query_orig(
                         q, Cs, Rs, mus, subs, codes, cell_start,
-                        order, qq, cells_sorted, V=V, B=B, Q=Q, K=K_stage)
+                        order, qq, cells_sorted, V=V, B=B, Q=Q, K=K_stage,
+                        SB=SB)
                 return pack_query_out(rows, dists, total, ncells, ok)
 
             batched = jax.vmap(qfn, in_axes=(0,) + (None,) * 10)
@@ -697,6 +715,7 @@ class LOPQSearcherTPU(LOPQSearcherBase):
 
         from columbiaimagesearch_tpu.index.tpu_query import (
             fused_feat_query,
+            rung_parts,
             unpack_query_out,
         )
         from columbiaimagesearch_tpu.utils.chunking import wave_bucket
@@ -717,7 +736,8 @@ class LOPQSearcherTPU(LOPQSearcherBase):
         K, Q, K_stage, R, K_emit = _query_geometry(quota, limit, nb,
                                                    rerank_nb)
 
-        def run_tier(idx, B):
+        def run_tier(idx, rung):
+            B, SB = rung_parts(rung)
             if len(idx) == nq:
                 # Full wave: pad_rows is a no-op when the caller handed a
                 # pre-padded wave (n_valid path) — no device reshaping.
@@ -733,6 +753,7 @@ class LOPQSearcherTPU(LOPQSearcherBase):
                 jnp.asarray(quota, dtype=jnp.int32), d.get("feats"),
                 d["cells_sorted"] if d.get("cell_start") is None else None,
                 V=V, B=B, Q=Q, K=K_stage, R=R, K_out=K_emit, renorm=renorm,
+                SB=SB,
                 lut_impl="stream"))  # one D2H sync; stream is vmap-safe
             return unpack_query_out(packed[:k], K_emit)
 
@@ -759,6 +780,7 @@ class LOPQSearcherTPU(LOPQSearcherBase):
             lopq_query_orig,
             lopq_query_rerank,
             pack_query_out,
+            rung_parts,
             unpack_query_out,
         )
 
@@ -778,20 +800,24 @@ class LOPQSearcherTPU(LOPQSearcherBase):
         xd = jnp.asarray(np.asarray(x, dtype=np.float32))
         cs = d["cells_sorted"] if d.get("cell_start") is None else None
 
-        def run_tier(idx, B):
+        def run_tier(idx, rung):
             # n=1 wave; the shared _escalate driver owns the ladder walk
             # and the tier-hint hysteresis (one policy, three callers).
+            B, SB = rung_parts(rung)
+            impl = "auto" if SB == 0 else "stream"  # pallas LUTs are
+            #   probed-slot-indexed; strip rungs use rank slots into the
+            #   full order and take the streaming residual path
             if R:
                 out_d = lopq_query_rerank(
                     xd, d["feats"], d["Cs"], d["Rs"], d["mus"], d["subs"],
                     d["codes"], d.get("cell_start"), d["order"], quota, cs,
-                    V=V, B=B, Q=Q, K=K_stage, R=R, K_out=K_emit,
-                    lut_impl="auto")
+                    V=V, B=B, Q=Q, K=K_stage, R=R, K_out=K_emit, SB=SB,
+                    lut_impl=impl)
             else:
                 out_d = lopq_query_orig(
                     xd, d["Cs"], d["Rs"], d["mus"], d["subs"],
                     d["codes"], d.get("cell_start"), d["order"], quota, cs,
-                    V=V, B=B, Q=Q, K=K_stage, lut_impl="auto")
+                    V=V, B=B, Q=Q, K=K_stage, SB=SB, lut_impl=impl)
             packed = np.asarray(
                 pack_query_out(*out_d))             # one D2H sync per tier
             rows, dists, total, n_cells, ok = unpack_query_out(

@@ -9,18 +9,18 @@ static-shape XLA program:
 
 1. coarse distances per split (two small matmuls),
 2. top-B clusters per split; the B x B cell grid sorted by approximate
-   distance is the multisequence visitation order. Wide rungs of the
-   escalation ladder (B*B > 16384) skip the grid sort entirely: the
-   quota-crossing distance threshold is found by exact int-bitcast
-   bisection (31 masked reductions) and the visited-cell SET — which is
-   all the ADC top-K needs — is selected by comparison, turning an
-   O(G log G) per-query sort (1M cells at B=1024) into ~60 streaming
-   passes over the grid. Wide rungs also keep every [G]-sized
-   intermediate FLAT (the narrow path's packed [G, k] gather tables pad
-   their k-wide minor dims to (8, 128) tiles — a 32 GB allocation at
-   B=1024 under a 64-query vmap) and compute candidate distances
-   directly from rotated residuals instead of via LUT + one-hot
-   (stages 4-5 below),
+   distance is the multisequence visitation order. Escalation rungs with
+   SB > 0 augment the square with SB-deep edge strips (bounded to
+   min(8B, V) ranks) — the walk region's thin arms along the rank axes
+   are what made square certificates fail at production quotas — sorted
+   the same way via one multi-payload lax.sort over the flat region
+   (separate [G] payload arrays: a packed [G, k] meta table would pad
+   its minor dim to 128 under vmap). Square rungs wider than the sort
+   cutoff (B*B > 16384, reachable only via an explicit probe_width pin
+   now that the ladder escalates through strip rungs) keep the
+   sort-free path: the quota-crossing threshold via per-row binary
+   searches against a row-cumsum table, candidate distances straight
+   from rotated residuals instead of LUT + one-hot (stages 4-5 below),
 3. ragged cell buckets resolved to a fixed candidate budget Q via cumsum +
    a scatter-add bucket map over the CSR ``cell_start`` table,
 4. ADC lookup tables for the 2B probed clusters,
@@ -144,7 +144,7 @@ def build_luts_pallas(x2, isel, Cs, Rs, mus, subs, *, interpret):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("V", "B", "Q", "K", "lut_impl"))
+    jax.jit, static_argnames=("V", "B", "Q", "K", "SB", "lut_impl"))
 def lopq_query(
     x,            # [D] float32 query (already PCA-projected if applicable)
     Cs,           # [2, V, Dh] coarse codebooks
@@ -161,25 +161,44 @@ def lopq_query(
     B: int,       # probed clusters per split (B*B candidate cells)
     Q: int,       # candidate budget (static padding)
     K: int,       # results to return
+    SB: int = 0,  # edge-strip depth (see below); 0 = square-only grid
     lut_impl: str = "stream",  # "stream" | "pallas" | "auto"
 ):
     """Returns (top_rows [K] int32, top_dists [K] f32, n_candidates, n_cells,
     grid_ok).
 
     Rows index into the sorted ``codes`` array; invalid slots are -1/+inf.
-    ``grid_ok`` certifies the B x B grid restriction was lossless for this
+    ``grid_ok`` certifies the grid restriction was lossless for this
     query: the quota-crossing cell's approximate distance did not exceed
-    the cheapest cell OUTSIDE the grid (whose distance is at least
-    ``min(d0[B] + d1[0], d0[0] + d1[B])``), so the cells visited are
+    the cheapest cell OUTSIDE the probed region, so the cells visited are
     exactly the ones the reference's unrestricted multisequence walk
     (lopq/lopq/search.py:13-135) would have visited. When it is False the
-    caller escalates to a wider B (see escalate_probe).
+    caller escalates to a wider rung (see escalate_probe).
+
+    ``SB`` > 0 augments the B x B square with two FULL-LENGTH edge strips
+    of depth SB — all cells with rank < SB on either axis. The walk's
+    region {(a, b): td0[a] + td1[b] <= theta} is hyperbola-shaped: most of
+    its area sits in a compact corner square, but it has long thin ARMS
+    along the axes (cells pairing a very low rank on one axis with a high
+    rank on the other). A square-only cut provably misses those arms — at
+    the 10M/V=4096 benchmark config the square certificate fails for
+    ~100% of queries at B=256 even though the quota is met, forcing every
+    query to a 1M-cell B=1024 grid — while a 128x128 square + 16-deep
+    strips covers the true region for 100% of measured queries in ~147k
+    cells (study: docs/BENCHMARKS.md probe-geometry section). The strip
+    region keeps the row structure the sort-free threshold path needs:
+    every row's allowed column set is a PREFIX of the td1 ranking, so all
+    per-row binary searches work unchanged on ragged row widths.
     """
     F = subs.shape[1]          # fine splits per half
     S = subs.shape[2]          # subquantizer clusters
     Dsub = subs.shape[3]
     Dh = Cs.shape[2]
     x2 = x.reshape(2, Dh)
+    if B >= V:
+        SB = 0  # full square grid: strips are redundant
+    SB = min(SB, B)
+    strips = SB > 0
 
     # --- 1. coarse distances, top-B per split ------------------------------
     def split_dists(s):
@@ -187,22 +206,42 @@ def lopq_query(
         return jnp.sum(diff * diff, axis=1)  # [V]
 
     d0, d1 = split_dists(0), split_dists(1)
-    # One extra rank per split prices the cheapest OUT-of-grid cell for the
-    # grid_ok certificate.
-    Bx = min(B + 1, V)
-    nd0, i0x = jax.lax.top_k(-d0, Bx)  # ascending distances
-    nd1, i1x = jax.lax.top_k(-d1, Bx)
-    i0, i1 = i0x[:B], i1x[:B]
-    td0, td1 = -nd0[:B], -nd1[:B]
-    if Bx > B:
-        out_grid_min = jnp.minimum(-nd0[B] + td1[0], td0[0] + -nd1[B])
+    if strips:
+        # Strips reach ranks up to SL = min(8B, V): rank order per half to
+        # SL(+1 for the certificate's strip-end corner).
+        SLc = min(8 * B, V)
+        Bf = min(SLc + 1, V)
+        nd0f, i0f = jax.lax.top_k(-d0, Bf)
+        nd1f, i1f = jax.lax.top_k(-d1, Bf)
+        td0f, td1f = -nd0f, -nd1f
+        i0, i1 = i0f[:B], i1f[:B]
+        td0, td1 = td0f[:B], td1f[:B]
+        # Cheapest cell outside the square-plus-strips region: the
+        # uncovered set within the SL bound has its minimum at one of the
+        # two inner corners; the strip-end corners price the cells beyond
+        # the SL bound (only when the bound bites, SL < V).
+        out_grid_min = jnp.minimum(td0f[B] + td1f[SB], td0f[SB] + td1f[B])
+        if SLc < V:
+            out_grid_min = jnp.minimum(
+                out_grid_min,
+                jnp.minimum(td0f[0] + td1f[SLc], td0f[SLc] + td1f[0]))
     else:
-        out_grid_min = jnp.float32(jnp.inf)  # full grid: restriction-free
+        # One extra rank per split prices the cheapest OUT-of-grid cell
+        # for the grid_ok certificate.
+        Bx = min(B + 1, V)
+        nd0, i0x = jax.lax.top_k(-d0, Bx)  # ascending distances
+        nd1, i1x = jax.lax.top_k(-d1, Bx)
+        i0, i1 = i0x[:B], i1x[:B]
+        td0, td1 = -nd0[:B], -nd1[:B]
+        if Bx > B:
+            out_grid_min = jnp.minimum(-nd0[B] + td1[0], td0[0] + -nd1[B])
+        else:
+            out_grid_min = jnp.float32(jnp.inf)  # full grid: no restriction
 
-    # --- 2. B x B cell grid in multisequence visit order -------------------
+    # --- 2. probed cell region in multisequence visit order ----------------
     G = B * B
     grid = td0[:, None] + td1[None, :]              # [B, B]
-    sort_grid = G <= 16384
+    sort_grid = G <= 16384 and not strips
     if sort_grid:
         # lax.top_k returns its k results sorted ascending in distance —
         # exactly the multisequence visitation order — and is markedly
@@ -266,6 +305,60 @@ def lopq_query(
         rows = mrow[:, 2] + (j - bucket_begin)
         slot0 = mrow[:, 3]                            # [Q] index into lut0
         slot1 = mrow[:, 4]
+    elif strips:
+        # Square-plus-strips region, SORTED like the narrow path. The
+        # region is small enough to sort (G ~ 30k-500k vs the square wide
+        # rungs' 1M+): one multi-payload lax.sort replaces the wide
+        # path's 31-step threshold bisection, whose serialized per-row
+        # binary searches were latency-bound on TPU (measured 21 ms at
+        # G=82k vs 5.8 ms for a 65k square). Ties follow sort order =
+        # the reference heap's arbitrary tie order, exactly like the
+        # narrow rung. Strip length is bounded to SL = min(8B, V): the
+        # region's arms taper, and cells beyond SL are priced into the
+        # certificate's out-of-region minimum.
+        SL = min(8 * B, V)
+        s1 = SB * SL                   # top strip cells
+        s2 = s1 + (B - SB) * B         # + square remainder
+        G = s2 + (SL - B) * SB         # + left strip
+        g = jnp.arange(G, dtype=jnp.int32)
+        rg = jnp.where(
+            g < s1, g // SL,
+            jnp.where(g < s2, SB + (g - s1) // B, B + (g - s2) // SB))
+        cg = jnp.where(
+            g < s1, g % SL,
+            jnp.where(g < s2, (g - s1) % B, (g - s2) % SB))
+        gridf = td0f[rg] + td1f[cg]                   # [G]
+        cidf = i0f[rg] * V + i1f[cg]                  # [G] global cell ids
+        if cell_start is None:
+            startsf = jnp.searchsorted(cells_sorted, cidf,
+                                       side="left").astype(jnp.int32)
+            ends = jnp.searchsorted(cells_sorted, cidf,
+                                    side="right").astype(jnp.int32)
+            cntf = ends - startsf
+        else:
+            bounds = cell_start[
+                cidf[:, None] + jnp.arange(2, dtype=jnp.int32)[None, :]]
+            startsf = bounds[:, 0]
+            cntf = bounds[:, 1] - startsf
+        # One sort carries every payload the slot machinery needs —
+        # no post-sort gathers, no [G, k] meta table (whose minor-dim
+        # tile padding would cost 16x memory under the serving vmap).
+        gr_s, cnt_s, starts_s, rg_s, cg_s = jax.lax.sort(
+            (gridf, cntf, startsf, rg, cg), num_keys=1)
+        csum = jnp.cumsum(cnt_s)
+        selected = (csum - cnt_s) < quota
+        sel_counts = jnp.where(selected, cnt_s, 0)
+        scs = jnp.cumsum(sel_counts)
+        total = scs[-1]
+        n_cells = jnp.sum(selected.astype(jnp.int32))
+        d_stop = gr_s[jnp.maximum(n_cells - 1, 0)]
+        markers = jnp.zeros(Q + 1, jnp.int32).at[jnp.minimum(scs, Q)].add(1)
+        b_for_j = jnp.cumsum(markers)[:Q]
+        b_for_j = jnp.minimum(b_for_j, G - 1)
+        bucket_begin = scs[b_for_j] - sel_counts[b_for_j]
+        rows = starts_s[b_for_j] + (j - bucket_begin)
+        slot0 = rg_s[b_for_j]                         # ranks into i0f/i1f
+        slot1 = cg_s[b_for_j]
     else:
         # Sort-free quota prefix: theta = the smallest grid distance whose
         # <=-cumulative candidate count reaches the quota — exactly the
@@ -498,8 +591,9 @@ def lopq_query(
                 acc = acc + jnp.sum(diff * diff, axis=1)
             return acc
 
-        dists = (half_dists(0, i0, slot0, cand_codes[:, :F])
-                 + half_dists(1, i1, slot1, cand_codes[:, F:]))
+        isel0, isel1 = (i0f, i1f) if strips else (i0, i1)
+        dists = (half_dists(0, isel0, slot0, cand_codes[:, :F])
+                 + half_dists(1, isel1, slot1, cand_codes[:, F:]))
     dists = jnp.where(valid, dists, jnp.inf)
 
     top_neg, top_idx = jax.lax.top_k(-dists, K)
@@ -508,10 +602,10 @@ def lopq_query(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("V", "B", "Q", "K", "R", "K_out", "lut_impl"))
+    jax.jit, static_argnames=("V", "B", "Q", "K", "R", "K_out", "SB", "lut_impl"))
 def lopq_query_rerank(x, feats, Cs, Rs, mus, subs, codes, cell_start, order,
                       quota, cells_sorted=None, *, V: int, B: int, Q: int,
-                      K: int, R: int, K_out: int = 0,
+                      K: int, R: int, K_out: int = 0, SB: int = 0,
                       lut_impl: str = "stream"):
     """Probed ADC query + device-resident exact rerank in ONE program.
 
@@ -542,7 +636,7 @@ def lopq_query_rerank(x, feats, Cs, Rs, mus, subs, codes, cell_start, order,
     """
     rows, dists, total, n_cells, grid_ok = lopq_query(
         x, Cs, Rs, mus, subs, codes, cell_start, quota, cells_sorted,
-        V=V, B=B, Q=Q, K=K, lut_impl=lut_impl)
+        V=V, B=B, Q=Q, K=K, SB=SB, lut_impl=lut_impl)
     rows = jnp.where(rows >= 0, order[jnp.maximum(rows, 0)], -1)
     rR = rows[:R]
     cand = feats[jnp.maximum(rR, 0)].astype(jnp.float32)   # [R, Dr]
@@ -561,19 +655,65 @@ def lopq_query_rerank(x, feats, Cs, Rs, mus, subs, codes, cell_start, order,
 #: exhaust a narrow grid) are automatically re-issued at the next width.
 #: 1024 caps the ladder: the grid/meta buffers grow with B^2, and at
 #: B=1024 the grid covers >=1M cells.
-PROBE_LADDER = (64, 256, 1024)
+#: Rung spec: an int B (square B x B grid) or a (B, SB) tuple (square
+#: plus SB-deep full-length edge strips — see lopq_query's SB param; the
+#: strips cover the walk region's thin arms, which is what let every
+#: square cert fail at production quotas). Strip depths follow the
+#: measured certificate studies (B/16, floor 8).
+PROBE_LADDER = (64, (128, 8), (256, 16), (512, 32), (1024, 64))
+
+
+def rung_parts(spec):
+    """(B, SB) of a ladder rung spec."""
+    return spec if isinstance(spec, tuple) else (spec, 0)
+
+
+def rung_floor(ladder, quota, nb, V, yield_est=None):
+    """Quota-aware starting rung: the narrowest ladder width whose grid
+    can plausibly contain the reference walk's quota crossing, so waves
+    skip provably-hopeless narrow rungs instead of paying them every
+    time (the round-3 economics failure: at quota=10k over a 10M index
+    every query burned the B=64 pass, and at 1M occupancy all three
+    rungs ran back-to-back per request).
+
+    The walk visits ~``quota / yield`` cells before crossing (yield =
+    candidates per visited cell — observed by escalate_probe at real
+    quota crossings, or the uniform-occupancy prior nb/V^2 before any
+    wave has run), and a staircase region of A cells needs grid legs of
+    ~sqrt(2A) (anti-diagonal frontier). Escalation still guards
+    correctness when the estimate is low — this only changes where the
+    ladder STARTS.
+    """
+    if nb <= 0 or len(ladder) <= 1:
+        return 0
+    quota_eff = min(int(quota), int(nb))
+    if quota_eff <= 0:
+        return 0
+    y = yield_est if (yield_est is not None and yield_est > 0) else max(
+        nb / float(V) ** 2, 1e-9)
+    import math
+
+    required_b = math.sqrt(2.0 * quota_eff / y)
+    for i, spec in enumerate(ladder):
+        if rung_parts(spec)[0] >= required_b:
+            return i
+    return len(ladder) - 1
 
 
 def probe_ladder(V, probe_width=None, ladder=PROBE_LADDER):
-    """Widths to try in order; a manual ``probe_width`` pins a single one
-    (the pre-escalation behavior, kept as a benchmarking knob)."""
+    """Rung specs to try in order; a manual ``probe_width`` pins a single
+    square rung (the pre-escalation behavior, kept as a benchmarking
+    knob)."""
     if probe_width:
         return (min(probe_width, V),)
     out = []
-    for w in ladder:
-        w = min(w, V)
-        if w not in out:
-            out.append(w)
+    for spec in ladder:
+        b, sb = rung_parts(spec)
+        b = min(b, V)
+        sb = 0 if b >= V else min(sb, b)
+        spec = (b, sb) if sb else b
+        if spec not in out:
+            out.append(spec)
     return tuple(out)
 
 
@@ -592,7 +732,10 @@ def escalate_probe(run_tier, ladder, n, quota, nb, K_pad):
         dists [k, K_pad], total [k], ncells [k], grid_ok [k]) numpy arrays
     :returns: (rows [n, K_pad] int32, dists [n, K_pad] f32, ncells [n],
         frac_short_first — fraction of queries the FIRST ladder rung
-        could not satisfy; feeds the searchers' tier-hint hysteresis)
+        could not satisfy; feeds the searchers' tier-hint hysteresis —
+        and yield_obs: mean candidates-per-visited-cell over satisfied
+        queries (None if none were satisfied), feeding the searchers'
+        quota-aware rung floor)
     """
     import numpy as np
 
@@ -602,18 +745,30 @@ def escalate_probe(run_tier, ladder, n, quota, nb, K_pad):
     ncells_b = np.zeros(n, np.int64)
     pend = np.arange(n)
     frac_short_first = 0.0
+    yield_sum, yield_n = 0.0, 0
     for ti, B in enumerate(ladder):
         r, dd, tot, nc, ok = run_tier(pend, B)
         rows_b[pend], dists_b[pend], ncells_b[pend] = r, dd, nc
-        if ti + 1 == len(ladder):
-            break
-        short = (np.asarray(tot) < quota_eff) | (np.asarray(ok) == 0)
+        tot = np.asarray(tot)
+        nc = np.asarray(nc)
+        short = (tot < quota_eff) | (np.asarray(ok) == 0)
+        # Candidates-per-visited-cell, observed at the quota crossing of
+        # every satisfied query: tot/nc is exactly "how dense is the index
+        # where THIS query's walk goes", which the rung floor inverts into
+        # the expected grid width the next wave needs.
+        sat = ~short & (nc > 0)
+        if sat.any():
+            yield_sum += float((tot[sat] / nc[sat]).sum())
+            yield_n += int(sat.sum())
         if ti == 0:
             frac_short_first = float(short.mean()) if n else 0.0
+        if ti + 1 == len(ladder):
+            break
         pend = pend[short]
         if len(pend) == 0:
             break
-    return rows_b, dists_b, ncells_b, frac_short_first
+    yield_obs = (yield_sum / yield_n) if yield_n else None
+    return rows_b, dists_b, ncells_b, frac_short_first, yield_obs
 
 
 @jax.jit
@@ -652,11 +807,12 @@ def unpack_query_out(packed, K_pad):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("V", "B", "Q", "K", "R", "K_out", "renorm", "lut_impl"))
+    static_argnames=("V", "B", "Q", "K", "R", "K_out", "renorm", "SB", "lut_impl"))
 def fused_feat_query(X, pca_P, pca_mu, Cs, Rs, mus, subs, codes, cell_start,
                      order, quota, feats=None, cells_sorted=None, *, V: int,
                      B: int, Q: int, K: int, R: int = 0, K_out: int = 0,
-                     renorm: bool = False, lut_impl: str = "stream"):
+                     renorm: bool = False, SB: int = 0,
+                     lut_impl: str = "stream"):
     """Raw extracted features -> packed search results in ONE program:
     L2-normalize, optional PCA projection (+renorm), vmapped probed query,
     optional exact rerank over the HBM-resident feature matrix, packed
@@ -691,27 +847,28 @@ def fused_feat_query(X, pca_P, pca_mu, Cs, Rs, mus, subs, codes, cell_start,
             rows, dists, total, ncells, ok = lopq_query_rerank(
                 q, feats, Cs, Rs, mus, subs, codes, cell_start, order,
                 quota, cells_sorted, V=V, B=B, Q=Q, K=K, R=R, K_out=K_out,
-                lut_impl=lut_impl)
+                SB=SB, lut_impl=lut_impl)
         else:
             rows, dists, total, ncells, ok = lopq_query_orig(
                 q, Cs, Rs, mus, subs, codes, cell_start, order, quota,
-                cells_sorted, V=V, B=B, Q=Q, K=K, lut_impl=lut_impl)
+                cells_sorted, V=V, B=B, Q=Q, K=K, SB=SB,
+                lut_impl=lut_impl)
         return pack_query_out(rows, dists, total, ncells, ok)
 
     return jax.vmap(qfn)(Xn)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("V", "B", "Q", "K", "lut_impl"))
+                   static_argnames=("V", "B", "Q", "K", "SB", "lut_impl"))
 def lopq_query_orig(x, Cs, Rs, mus, subs, codes, cell_start, order, quota,
                     cells_sorted=None, *, V: int, B: int, Q: int, K: int,
-                    lut_impl: str = "stream"):
+                    SB: int = 0, lut_impl: str = "stream"):
     """``lopq_query`` + mapping of sorted-row hits back to insertion-order
     row indices via the ``order`` permutation (see csr.append_and_build_csr).
     One jit: the gather fuses with the query instead of costing an extra
     dispatch per call."""
     rows, dists, total, n_cells, grid_ok = lopq_query(
         x, Cs, Rs, mus, subs, codes, cell_start, quota, cells_sorted,
-        V=V, B=B, Q=Q, K=K, lut_impl=lut_impl)
+        V=V, B=B, Q=Q, K=K, SB=SB, lut_impl=lut_impl)
     rows = jnp.where(rows >= 0, order[jnp.maximum(rows, 0)], -1)
     return rows, dists, total, n_cells, grid_ok

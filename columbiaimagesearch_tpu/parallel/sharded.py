@@ -26,6 +26,8 @@ from columbiaimagesearch_tpu.index.tpu_query import (
     lopq_query,
     pack_query_out,
     probe_ladder,
+    rung_floor,
+    rung_parts,
     unpack_query_out,
 )
 from columbiaimagesearch_tpu.parallel.mesh import SHARD_AXIS, make_mesh, shard_rows
@@ -125,6 +127,7 @@ class ShardedLOPQIndex:
         self._stats_lock = _threading.Lock()
         self._tier_hint = 0       # probe-ladder start rung (hysteresis,
         self._wave_i = 0          # same policy as LOPQSearcherTPU)
+        self._yield_ema = None    # candidates-per-cell EMA (rung floor)
 
     @property
     def has_rerank_feats(self):
@@ -348,7 +351,7 @@ class ShardedLOPQIndex:
 
     # -------------------------------------------------------------- queries
 
-    def _query_fn(self, V, B, Q, K, R=0, K_out=0):
+    def _query_fn(self, V, B, Q, K, R=0, K_out=0, SB=0):
         # Cache compiled fan-out functions per static config — building a
         # fresh shard_map closure per call would miss jax's jit cache.
         # The wave (query-batch) axis is vmapped inside the shard_map, so
@@ -357,7 +360,7 @@ class ShardedLOPQIndex:
         # rows emitted after the mesh-wide rerank re-sort — serving only
         # consumes ``limit`` rows, so the packed result and its host sync
         # shrink ~R/K_out x (see index/searcher._query_geometry).
-        key = (V, B, Q, K, R, K_out)
+        key = (V, B, Q, K, R, K_out, SB)
         cached = self._qfns.get(key)
         if cached is not None:
             return cached
@@ -372,7 +375,7 @@ class ShardedLOPQIndex:
             def one(x):
                 return lopq_query(
                     x, Cs, Rs, mus, subs, codes[0], cell_start[0], quota,
-                    V=V, B=B, Q=Q, K=K)
+                    V=V, B=B, Q=Q, K=K, SB=SB)
 
             rows, dists, total, ncells, ok = jax.vmap(one)(X)  # [nq, K] x2
             shard_id = jax.lax.axis_index(SHARD_AXIS)
@@ -475,10 +478,11 @@ class ShardedLOPQIndex:
         d = self._dev          # snapshot (swapped atomically on refresh)
         ids_snap = self._ids
 
-        def run_tier(idx, B):
+        def run_tier(idx, rung):
             from columbiaimagesearch_tpu.utils.chunking import pad_rows
 
-            qfn = self._query_fn(V, B, Q, K_stage, R, K_emit)
+            B, SB = rung_parts(rung)
+            qfn = self._query_fn(V, B, Q, K_stage, R, K_emit, SB)
             Xw, k = pad_rows(X[idx], wave_bucket(len(idx)))
             extra = (d["feats"],) if R else ()
             packed = qfn(
@@ -490,15 +494,16 @@ class ShardedLOPQIndex:
             return unpack_query_out(packed[:k], K_emit if R else K_stage)
 
         full_ladder = probe_ladder(V, self.probe_width)
-        # Hint/counter updates under the lock (same policy as
-        # LOPQSearcherTPU._escalate): concurrent waves must not lose
-        # hysteresis updates or skip the periodic re-probe.
+        # Quota-aware floor + hint/counter updates under the lock (same
+        # policy as LOPQSearcherTPU._escalate): concurrent waves must not
+        # lose hysteresis updates or skip the periodic re-probe.
         with self._stats_lock:
-            start = min(self._tier_hint, len(full_ladder) - 1)
+            floor = rung_floor(full_ladder, quota, nb, V, self._yield_ema)
+            start = min(max(self._tier_hint, floor), len(full_ladder) - 1)
             self._wave_i += 1
-            if start and self._wave_i % self.REPROBE_EVERY == 0:
-                start = 0  # periodic re-probe lets the hint shift back down
-        rows_b, dists_b, ncells_b, frac_short = escalate_probe(
+            if start > floor and self._wave_i % self.REPROBE_EVERY == 0:
+                start = floor  # periodic re-probe: hint can shift back down
+        rows_b, dists_b, ncells_b, frac_short, yield_obs = escalate_probe(
             run_tier, full_ladder[start:], nq, quota, nb,
             K_emit if R else K_stage)
         with self._stats_lock:
@@ -506,6 +511,10 @@ class ShardedLOPQIndex:
                 self._tier_hint = max(self._tier_hint, start + 1)
             elif frac_short < 0.1:
                 self._tier_hint = start
+            if yield_obs is not None:
+                self._yield_ema = (yield_obs if self._yield_ema is None
+                                   else 0.7 * self._yield_ema
+                                   + 0.3 * yield_obs)
             self.probe_stats["waves"] += 1
             self.probe_stats["escalated_queries"] += int(
                 round(frac_short * nq))

@@ -194,6 +194,10 @@ def test_probe_stats_observability(hard_setup):
 
     s = LOPQSearcherTPU(model)
     s.add_codes((coarse, fine), ids)
+    # Pin the quota-aware rung floor to the narrow rung (a huge observed
+    # yield estimate says "one cell covers any quota") so the wave MUST
+    # start at B=64 and the escalation is observable in the stats.
+    s._yield_ema = 1e9
     w0 = s.probe_stats["waves"]
     s.search_batch(np.stack([hard_q, hard_q]), quota=len(ids), limit=5)
     assert s.probe_stats["waves"] == w0 + 1
