@@ -284,6 +284,92 @@ def bench_searcher(args):
     }))
 
 
+def bench_decode_scaling(args, n_images=256, reps=5):
+    """Host-decode scaling law: per-core throughput of each host decode
+    strategy on the benchmark 640x480 JPEG, the H2D upload volume each
+    implies, and the host cores needed to saturate one chip's measured
+    forward rate. This quantifies the extraction-e2e gap's host side: the
+    device path runs at ~36k img/s/chip (--mode extraction) while this
+    container has ONE core — production sizing comes from these per-core
+    rates. The coefficient route (Huffman-only host stage feeding the
+    device IDCT+resize pipeline, models/jpeg_device.py) is the designed
+    replacement for the reference's all-host decode+forward
+    (sbpycaffe_img_featurizer.py:113-134, extract_nfeatures.cpp:1-207)."""
+    import io
+
+    from PIL import Image
+
+    from columbiaimagesearch_tpu.models.jpeg_device import pick_msub
+    from columbiaimagesearch_tpu.native.imgpipe import (
+        coeffs_available,
+        decode_resize_batch,
+        read_coeffs_batch,
+    )
+
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 255, (480, 640, 3), dtype=np.uint8)
+    b = io.BytesIO()
+    Image.fromarray(img).save(b, format="JPEG", quality=85)
+    bufs = [b.getvalue()] * n_images
+    log(f"{n_images} copies of a 640x480 q85 JPEG "
+        f"({len(bufs[0])} bytes)")
+
+    def rate(fn):
+        vals = []
+        fn()  # warm (page-in, lib init)
+        for _ in range(reps):
+            s = time.perf_counter()
+            fn()
+            vals.append(n_images / (time.perf_counter() - s))
+        return float(np.median(vals))
+
+    out = {}
+    out["full_decode_exact"] = round(rate(
+        lambda: decode_resize_batch(bufs, 256, n_threads=1,
+                                    dct_scale=False)), 1)
+    out["full_decode_dct_scaled"] = round(rate(
+        lambda: decode_resize_batch(bufs, 256, n_threads=1,
+                                    dct_scale=True)), 1)
+    msub = pick_msub(480, 640)
+    if coeffs_available():
+        out[f"coeffs_msub{msub}"] = round(rate(
+            lambda: read_coeffs_batch(bufs, msub, 60, 80, n_threads=1)),
+            1)
+    # thread scaling on THIS box (1 core: expect flat — the honest
+    # statement of why e2e here is decode-bound)
+    threads = {}
+    for nt in (1, 2, 4):
+        threads[str(nt)] = round(rate(
+            lambda nt=nt: decode_resize_batch(bufs, 256, n_threads=nt,
+                                              dct_scale=True)), 1)
+    # H2D bytes per image per route
+    m2 = msub * msub
+    coeff_bytes = (60 * 80 + 2 * 30 * 40) * m2 * 2
+    pixel_bytes = 256 * 256 * 3
+    # cores to saturate one chip (r04 device-path forward rate)
+    chip_rate = 36371.0
+    cores = {k: round(chip_rate / v, 1) for k, v in out.items()}
+    log(f"rates img/s/core: {out}; cores/chip to saturate "
+        f"{chip_rate:.0f} img/s: {cores}; thread scaling: {threads}")
+    best = max(out.values())
+    print(json.dumps({
+        "metric": "host_decode_rate_best_route",
+        "value": best,
+        "unit": "images/sec/core (640x480 q85 -> 256)",
+        "vs_baseline": None,
+        "extra": {
+            "rates_img_s_core": out,
+            "cores_per_chip_to_saturate_36371": cores,
+            "thread_scaling_this_box": threads,
+            "h2d_bytes_per_image": {"pixels": pixel_bytes,
+                                    f"coeffs_msub{msub}": coeff_bytes},
+            "note": "1-core container; production hosts scale decode "
+                    "linearly across cores (embarrassingly parallel, "
+                    "GIL released)",
+        },
+    }))
+
+
 def bench_extraction_e2e(args, n_images=512, reps=3):
     """HONEST end-to-end extraction: encoded JPEG buffers ->
     GenericExtractor.process_batch (native parallel decode + resize ->
@@ -310,7 +396,9 @@ def bench_extraction_e2e(args, n_images=512, reps=3):
 
     extractor = GenericExtractor(
         "full", "sentibank",
-        featurizer=SentibankFeaturizer(compute_dtype="bfloat16"))
+        featurizer=SentibankFeaturizer(
+            compute_dtype="bfloat16",
+            device_decode=getattr(args, "device_decode", False)))
     out = extractor.process_batch(bufs[:8])  # warm-up/compile
     assert out[0].get(extractor.extr_str_processed) == "1", out[0]
 
@@ -364,8 +452,11 @@ def bench_extraction_e2e(args, n_images=512, reps=3):
         f"d2h={t_d2h:.2f}s b64={t_b64:.2f}s "
         f"sum={t_decode+t_upload+t_fwd+t_d2h+t_b64:.2f}s")
     baseline = 5000.0  # BASELINE.md device-rate north star, for reference
+    route = ("device_decode" if getattr(args, "device_decode", False)
+             else "host_decode")
     print(json.dumps({
-        "metric": "extraction_e2e_jpeg_to_features",
+        "metric": f"extraction_e2e_jpeg_to_features_{route}"
+        if route == "device_decode" else "extraction_e2e_jpeg_to_features",
         "value": round(rate, 1),
         "unit": "images/sec (1 host core + 1 chip)",
         "vs_baseline": round(rate / baseline, 3),
@@ -399,7 +490,7 @@ def bench_serving(args, n_threads=4, reqs_per_thread=10):
     t0 = time.time()
     log(f"devices: {jax.devices()}")
     D_FEAT, PCA_D = 4096, 256
-    n_index = min(args.index_size, 1 << 20)
+    n_index = args.index_size
 
     # ---- synthetic 4096-d features, generated/projected on device --------
     key = jax.random.PRNGKey(0)
@@ -579,7 +670,7 @@ def bench_serving(args, n_threads=4, reqs_per_thread=10):
     }))
 
 
-def _chained_query_p50(args, B, make, key, index_args, t0,
+def _chained_query_p50(args, rung, make, key, index_args, t0,
                        label=""):
     """p50 ms/query of ``lopq_query`` at probe width ``B`` with the
     chained-scan methodology (N dependency-chained queries inside ONE
@@ -592,29 +683,31 @@ def _chained_query_p50(args, B, make, key, index_args, t0,
     import jax
     import jax.numpy as jnp
 
-    from columbiaimagesearch_tpu.index.tpu_query import lopq_query
+    from columbiaimagesearch_tpu.index.tpu_query import (lopq_query,
+                                                          rung_parts)
     from columbiaimagesearch_tpu.utils.chunking import round_up
 
+    B, SB = rung_parts(rung)
     Q = round_up(args.quota + 1024, 1024)
     K = round_up(args.limit, 16)
     nq = args.queries_per_batch
 
-    @functools.partial(jax.jit, static_argnames=("B",))
+    @functools.partial(jax.jit, static_argnames=("B", "SB"))
     def run_batch(queries, Cs, Rs, mus, subs, codes, cell_start, quota,
-                  B):
+                  B, SB):
         def step(carry, q):
             rows, dists, total, nc, ok = lopq_query(
                 q + carry * 1e-12, Cs, Rs, mus, subs, codes, cell_start,
-                quota, V=args.V, B=B, Q=Q, K=K, lut_impl="auto")
+                quota, V=args.V, B=B, Q=Q, K=K, SB=SB, lut_impl="auto")
             return dists[0], (rows[:args.limit], dists[:args.limit])
         last, outs = jax.lax.scan(step, jnp.float32(0), queries)
         return last, outs
 
     key, kq = jax.random.split(key)
     warm = make(nq, kq)
-    log(f"[{time.time()-t0:.1f}s] compiling query ({label}B={B} Q={Q} "
-        f"K={K})")
-    jax.block_until_ready(run_batch(warm, *index_args, B=B)[0])
+    log(f"[{time.time()-t0:.1f}s] compiling query ({label}B={B} SB={SB} "
+        f"Q={Q} K={K})")
+    jax.block_until_ready(run_batch(warm, *index_args, B=B, SB=SB)[0])
     per_batch = []
     outs = None
     for i in range(args.batches):
@@ -622,7 +715,7 @@ def _chained_query_p50(args, B, make, key, index_args, t0,
         queries = make(nq, kq)
         jax.block_until_ready(queries)
         s = time.perf_counter()
-        last, outs = run_batch(queries, *index_args, B=B)
+        last, outs = run_batch(queries, *index_args, B=B, SB=SB)
         jax.block_until_ready(last)
         per_batch.append((time.perf_counter() - s) / nq * 1000.0)
         log(f"[{time.time()-t0:.1f}s] {label}B={B} batch {i}: "
@@ -652,20 +745,23 @@ def bench_probe(args):
 
     quota = jnp.asarray(args.quota, dtype=jnp.int32)
     index_args = (Cs, Rs, mus, subs, codes, cell_start, quota)
-    rung_ms = {}
-    for B in probe_ladder(args.V, args.probe_width):
-        p50, _, key = _chained_query_p50(args, B, make, key, index_args,
-                                         t0, label="rung ")
-        rung_ms[B] = round(p50, 3)
+    from columbiaimagesearch_tpu.index.tpu_query import rung_parts
 
-    top = max(rung_ms)
+    rung_ms = {}
+    for rung in probe_ladder(args.V, args.probe_width):
+        p50, _, key = _chained_query_p50(args, rung, make, key, index_args,
+                                         t0, label="rung ")
+        b, sb = rung_parts(rung)
+        rung_ms[f"{b}+{sb}" if sb else str(b)] = round(p50, 3)
+
+    top = max(rung_ms, key=lambda k: int(k.split("+")[0]))
     baseline_ms = 10.0  # headline target: <10 ms even at the widest rung
     print(json.dumps({
         "metric": f"probe_rung_latency_{args.index_size >> 20}Mi_index",
         "value": rung_ms[top],
         "unit": "ms/query (widest rung)",
         "vs_baseline": round(baseline_ms / rung_ms[top], 2),
-        "extra": {"rung_ms": {str(b): v for b, v in rung_ms.items()},
+        "extra": {"rung_ms": rung_ms,
                   "quota": args.quota,
                   "queries_per_batch": args.queries_per_batch},
     }))
@@ -715,7 +811,9 @@ def bench_train(args):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--index-size", type=int, default=10 * (1 << 20))
+    ap.add_argument("--index-size", type=int, default=None,
+                    help="rows to index (default: 10Mi for query/"
+                         "searcher/probe, 1Mi for serving)")
     ap.add_argument("--train-size", type=int, default=100_000)
     ap.add_argument("--dim", type=int, default=256)
     ap.add_argument("--V", type=int, default=4096)
@@ -739,9 +837,15 @@ def main():
     # amortizes to 0.3 ms/query (at 20 it contaminated the p50 by ~1.4
     # ms/query; measured in scripts/profile_query.py, round 2).
     ap.add_argument("--queries-per-batch", type=int, default=100)
+    ap.add_argument("--device-decode", action="store_true",
+                    help="extraction-e2e: decode JPEGs ON DEVICE from "
+                         "host-extracted Huffman coefficients "
+                         "(models/jpeg_device.py) instead of host "
+                         "pixel decode")
     ap.add_argument("--mode",
                     choices=["query", "extraction", "extraction-e2e",
-                             "searcher", "serving", "train", "probe"],
+                             "searcher", "serving", "train", "probe",
+                             "decode-scaling"],
                     default="query",
                     help="query: p50 ADC latency (headline); extraction: "
                          "device-path Sentibank images/sec/chip; "
@@ -750,9 +854,14 @@ def main():
                          "SearcherLOPQ class; probe: per-rung latency of "
                          "the adaptive probe ladder")
     args = ap.parse_args()
+    if args.index_size is None:
+        args.index_size = ((1 << 20) if args.mode == "serving"
+                           else 10 * (1 << 20))
 
     if args.mode == "extraction":
         return bench_extraction(args)
+    if args.mode == "decode-scaling":
+        return bench_decode_scaling(args)
     if args.mode == "extraction-e2e":
         return bench_extraction_e2e(args)
     if args.mode == "searcher":

@@ -236,12 +236,21 @@ class SentibankFeaturizer:
     feat_type = "sbpycaffe"
 
     def __init__(self, params=None, mean_image=None, seed: int = 0,
-                 compute_dtype="float32", dct_scale: bool = True):
+                 compute_dtype="float32", dct_scale: bool = True,
+                 device_decode: bool = False):
         #: DCT-scaled JPEG decode in the buffers path (2-4x faster per
         #: host core; False = bit-exact full-res decode, the reference
         #: preprocess contract — drift is regression-checked in
         #: tests/test_extraction.py)
         self.dct_scale = dct_scale
+        #: Device-side JPEG decode: host does Huffman-only coefficient
+        #: extraction (~2.7x cheaper per core than full decode); dequant/
+        #: IDCT/upsample/color/resize run on the TPU as batched matmuls
+        #: (models/jpeg_device.py). Non-4:2:0 / odd-sized images fall
+        #: back to the host pixel path per image. Drift vs the host path
+        #: is regression-checked in tests/test_jpeg_device.py.
+        self.device_decode = device_decode
+        self._coeff_decoder = None
         if params is None:
             # Pretrained weights auto-load from the conventional path
             # (the role of the reference's model auto-download,
@@ -296,15 +305,15 @@ class SentibankFeaturizer:
 
         waves, status_all = [], []
         with ThreadPoolExecutor(max_workers=1) as pool:
-            fut = pool.submit(self.decode_wave, buffers[:chunk])
+            fut = pool.submit(self.prepare_wave, buffers[:chunk])
             i = 0
             while i < n:
-                stack, status = fut.result()
+                prep = fut.result()
                 nxt = i + chunk
                 if nxt < n:
-                    fut = pool.submit(self.decode_wave,
+                    fut = pool.submit(self.prepare_wave,
                                       buffers[nxt:nxt + chunk])
-                feats_d, nv = self.featurize_pixel_wave(stack)
+                feats_d, nv, status = self.run_wave(prep)
                 waves.append((feats_d, nv))  # async; D2H deferred
                 status_all.extend(status)
                 i = nxt
@@ -331,14 +340,110 @@ class SentibankFeaturizer:
     def featurize_wave(self, buffers):
         """Serving-wave featurize: buffers -> (feats [nb, 4096] device,
         n, status [n]) where nb = wave_bucket(n) and rows past n are
-        padding. Decode/resize on host, then ONE device program
-        (preprocess + forward fused). Callers that keep the padded wave
-        (GenericSearcher._serve_batch) avoid the per-row slice dispatches
-        entirely; ``featurize_buffers_device`` slices for the legacy
-        contract."""
-        stack, status = self.decode_wave(buffers)
-        feats, n = self.featurize_pixel_wave(stack)
-        return feats, n, status
+        padding. Decode/resize on host (or device when ``device_decode``
+        is set), then ONE device program (preprocess + forward fused).
+        Callers that keep the padded wave (GenericSearcher._serve_batch)
+        avoid the per-row slice dispatches entirely;
+        ``featurize_buffers_device`` slices for the legacy contract."""
+        return self.run_wave(self.prepare_wave(buffers))
+
+    # ---------------------------------------------- wave prepare/run split
+
+    def prepare_wave(self, buffers):
+        """Host half of a wave (runs in the decode-ahead thread / server
+        handler thread): pixel decode, or Huffman-only coefficient
+        extraction when ``device_decode`` is enabled. Returns an opaque
+        prep consumed by :meth:`run_wave`."""
+        if not self.device_decode:
+            stack, status = self.decode_wave(buffers)
+            return ("pixels", (stack, list(status)))
+        return self._prepare_coeff_wave(buffers)
+
+    def run_wave(self, prep):
+        """Device half: prep -> (feats [nb, 4096] device, n valid,
+        status [n])."""
+        kind, payload = prep
+        if kind == "pixels":
+            stack, status = payload
+            feats, n = self.featurize_pixel_wave(stack)
+            return feats, n, status
+        return self._run_coeff_wave(payload)
+
+    def _prepare_coeff_wave(self, buffers):
+        """Coefficient route: entropy-decode the dominant-size 4:2:0
+        JPEGs of the batch (the device reconstructs them); everything
+        else (non-JPEG, odd subsampling, minority sizes) takes the host
+        pixel path. One coefficient grid per wave keeps the device
+        program set bounded (one compile per observed dominant size)."""
+        from collections import Counter
+
+        from columbiaimagesearch_tpu.models.jpeg_device import pick_msub
+        from columbiaimagesearch_tpu.models.preprocess import TARGET
+        from columbiaimagesearch_tpu.native.imgpipe import (coeffs_available,
+                                                            jpeg_dims,
+                                                            read_coeffs_batch)
+
+        n = len(buffers)
+        dims = [jpeg_dims(b) for b in buffers]
+        sizes = Counter(d for d in dims if d is not None)
+        if not sizes or not coeffs_available():
+            stack, status = self.decode_wave(buffers)
+            return ("pixels", (stack, list(status)))
+        (h, w), _ = sizes.most_common(1)[0]
+        cand = [i for i in range(n) if dims[i] == (h, w)]
+        msub = pick_msub(h, w, TARGET)
+        bh = -(-h // 8)
+        bw = -(-w // 8)
+        bh += bh & 1  # even grids so the 4:2:0 chroma grid (bh/2) fits
+        bw += bw & 1
+        yc, cc, qt, _, st = read_coeffs_batch(
+            [buffers[i] for i in cand], msub, bh, bw)
+        ok = st == 0
+        ok_idx = [i for i, o in zip(cand, ok) if o]
+        pix_idx = [i for i in range(n) if i not in set(ok_idx)]
+        pix_stack, pix_status = (self.decode_wave(
+            [buffers[i] for i in pix_idx]) if pix_idx else (None, []))
+        status = [0] * n
+        for i, s in zip(pix_idx, pix_status):
+            status[i] = int(s)
+        payload = {
+            "ycoef": yc[ok], "ccoef": cc[ok], "qtab": qt[ok],
+            "msub": msub, "h": h, "w": w, "ok_idx": ok_idx,
+            "pix_idx": pix_idx, "pix_stack": pix_stack,
+            "status": status, "n": n,
+        }
+        return ("coeffs", payload)
+
+    def _run_coeff_wave(self, payload):
+        import jax.numpy as jnp
+
+        from columbiaimagesearch_tpu.models.jpeg_device import CoeffDecoder
+        from columbiaimagesearch_tpu.models.preprocess import TARGET
+
+        if self._coeff_decoder is None:
+            self._coeff_decoder = CoeffDecoder(target=TARGET)
+        n = payload["n"]
+        parts, order = [], []
+        if payload["ok_idx"]:
+            dec = self._coeff_decoder.decode(
+                payload["ycoef"], payload["ccoef"], payload["qtab"],
+                msub=payload["msub"], h=payload["h"], w=payload["w"])
+            # Round to the uint8 staging domain — the same quantization
+            # the host pixel path goes through, so both routes feed the
+            # forward identically-typed input.
+            parts.append(jnp.round(dec).astype(jnp.uint8))
+            order.extend(payload["ok_idx"])
+        if payload["pix_idx"]:
+            parts.append(jnp.asarray(payload["pix_stack"]))
+            order.extend(payload["pix_idx"])
+        stack = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+        if order != list(range(n)):
+            inv = np.empty(n, dtype=np.int32)
+            inv[np.asarray(order, dtype=np.int32)] = np.arange(
+                n, dtype=np.int32)
+            stack = stack[jnp.asarray(inv)]
+        feats, nv = self.featurize_pixel_wave(stack)
+        return feats, nv, payload["status"]
 
     def decode_wave(self, buffers):
         """Host half of :meth:`featurize_wave`: decode+resize only,

@@ -279,7 +279,185 @@ int imgpipe_process_batch(const uint8_t* const* bufs, const int64_t* lens,
                                   n_threads, /*dct_min_dim=*/0);
 }
 
+// ------------------------------------------------- coefficient extraction
+//
+// Host half of the DEVICE-SIDE decode path: entropy (Huffman) decode only —
+// the serial, unparallelizable part of JPEG — emitting quantized DCT
+// coefficients; dequant + IDCT + chroma upsample + color conversion +
+// resize all run on the TPU as batched matmuls
+// (columbiaimagesearch_tpu/models/jpeg_device.py). This attacks the
+// extraction-e2e bottleneck: the full host decode costs ~3x the entropy
+// decode alone per core, and everything after the entropy stage is
+// MXU-shaped work.
+//
+// Only baseline/progressive YCbCr 4:2:0 (and 4:4:4, upgraded to one
+// block-grid by flagging) 3-component JPEGs are handled; anything else
+// returns status -3 and the caller routes that image through the pixel
+// path (decode_resize_batch).
+//
+// Per image, the low-frequency msub x msub corner of every 8x8 block is
+// emitted in natural (row-major) order — the only part the device IDCT
+// uses when reconstructing at msub/8 scale (same spectral truncation as
+// libjpeg scale_num/scale_denom) — padded into a fixed [max_bh, max_bw]
+// luma block grid so the batch is one static-shape device upload.
+//
+// Layouts (C-contiguous):
+//   ycoef  int16  [n, max_bh, max_bw, msub*msub]
+//   ccoef  int16  [n, 2, max_bh/2, max_bw/2, msub*msub]  (4:2:0 grid)
+//   qtab   uint16 [n, 2, msub*msub]   (luma table, chroma table)
+//   dims   int32  [n, 6]  h, w, bh, bw, cbh, cbw  (actual, pre-padding)
+//   status int32  [n]     0 ok; -1 decode fail; -2 empty; -3 unsupported;
+//                         -4 grid exceeds bucket
+
+extern "C" int imgpipe_read_coeffs_batch(
+    const uint8_t* const* bufs, const int64_t* lens, int n, int msub,
+    int max_bh, int max_bw, int16_t* ycoef, int16_t* ccoef, uint16_t* qtab,
+    int32_t* dims, int32_t* status, int n_threads) {
+  if (n <= 0) return 0;
+  if (msub < 1) msub = 1;
+  if (msub > 8) msub = 8;
+  const int m2 = msub * msub;
+  const int cbh_max = max_bh / 2, cbw_max = max_bw / 2;
+  const size_t ystride = size_t(max_bh) * max_bw * m2;
+  const size_t cstride = size_t(2) * cbh_max * cbw_max * m2;
+  if (n_threads <= 0) n_threads = std::thread::hardware_concurrency();
+  n_threads = std::max(1, std::min(n_threads, n));
+  std::atomic<int> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n) return;
+      int16_t* yout = ycoef + size_t(i) * ystride;
+      int16_t* cout_ = ccoef + size_t(i) * cstride;
+      memset(yout, 0, ystride * sizeof(int16_t));
+      memset(cout_, 0, cstride * sizeof(int16_t));
+      memset(qtab + size_t(i) * 2 * m2, 0, 2 * m2 * sizeof(uint16_t));
+      memset(dims + size_t(i) * 6, 0, 6 * sizeof(int32_t));
+      if (lens[i] <= 0) {
+        status[i] = -2;
+        continue;
+      }
+      if (!(lens[i] > 3 && bufs[i][0] == 0xFF && bufs[i][1] == 0xD8)) {
+        status[i] = -3;  // not a JPEG (PNG etc. -> pixel path)
+        continue;
+      }
+      jpeg_decompress_struct cinfo;
+      JpegErr jerr;
+      cinfo.err = jpeg_std_error(&jerr.mgr);
+      jerr.mgr.error_exit = jpeg_err_exit;
+      if (setjmp(jerr.jb)) {
+        jpeg_destroy_decompress(&cinfo);
+        status[i] = -1;
+        continue;
+      }
+      jpeg_create_decompress(&cinfo);
+      jpeg_mem_src(&cinfo, const_cast<uint8_t*>(bufs[i]),
+                   static_cast<unsigned long>(lens[i]));
+      if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+        jpeg_destroy_decompress(&cinfo);
+        status[i] = -1;
+        continue;
+      }
+      const bool ycc420 =
+          cinfo.num_components == 3 &&
+          cinfo.jpeg_color_space == JCS_YCbCr &&
+          cinfo.comp_info[0].h_samp_factor == 2 &&
+          cinfo.comp_info[0].v_samp_factor == 2 &&
+          cinfo.comp_info[1].h_samp_factor == 1 &&
+          cinfo.comp_info[1].v_samp_factor == 1 &&
+          cinfo.comp_info[2].h_samp_factor == 1 &&
+          cinfo.comp_info[2].v_samp_factor == 1;
+      if (!ycc420) {
+        jpeg_destroy_decompress(&cinfo);
+        status[i] = -3;
+        continue;
+      }
+      jvirt_barray_ptr* coefs = jpeg_read_coefficients(&cinfo);
+      if (coefs == nullptr) {
+        jpeg_destroy_decompress(&cinfo);
+        status[i] = -1;
+        continue;
+      }
+      const int bh = cinfo.comp_info[0].height_in_blocks;
+      const int bw = cinfo.comp_info[0].width_in_blocks;
+      const int cbh = cinfo.comp_info[1].height_in_blocks;
+      const int cbw = cinfo.comp_info[1].width_in_blocks;
+      if (bh > max_bh || bw > max_bw || cbh > cbh_max || cbw > cbw_max) {
+        jpeg_finish_decompress(&cinfo);
+        jpeg_destroy_decompress(&cinfo);
+        status[i] = -4;
+        continue;
+      }
+      // Quant tables (natural order in libjpeg's JQUANT_TBL): emit the
+      // msub x msub corner. Cb/Cr share one output slot — 4:2:0 JPEGs in
+      // the wild always share a chroma table; if they differ we bail to
+      // the pixel path rather than decode wrong colors.
+      const JQUANT_TBL* qt0 =
+          cinfo.quant_tbl_ptrs[cinfo.comp_info[0].quant_tbl_no];
+      const JQUANT_TBL* qt1 =
+          cinfo.quant_tbl_ptrs[cinfo.comp_info[1].quant_tbl_no];
+      const JQUANT_TBL* qt2 =
+          cinfo.quant_tbl_ptrs[cinfo.comp_info[2].quant_tbl_no];
+      if (qt0 == nullptr || qt1 == nullptr || qt2 == nullptr ||
+          memcmp(qt1->quantval, qt2->quantval, sizeof(qt1->quantval)) != 0) {
+        jpeg_finish_decompress(&cinfo);
+        jpeg_destroy_decompress(&cinfo);
+        status[i] = -3;
+        continue;
+      }
+      uint16_t* qout = qtab + size_t(i) * 2 * m2;
+      for (int u = 0; u < msub; u++) {
+        for (int v = 0; v < msub; v++) {
+          qout[u * msub + v] = qt0->quantval[u * 8 + v];
+          qout[m2 + u * msub + v] = qt1->quantval[u * 8 + v];
+        }
+      }
+      int32_t* dout = dims + size_t(i) * 6;
+      dout[0] = cinfo.image_height;
+      dout[1] = cinfo.image_width;
+      dout[2] = bh;
+      dout[3] = bw;
+      dout[4] = cbh;
+      dout[5] = cbw;
+      // Copy the msub x msub corner of every block (blocks are natural
+      // row-major order after entropy decode, jdhuff.c writes through
+      // jpeg_natural_order).
+      for (int ci = 0; ci < 3; ci++) {
+        const int nbh = ci == 0 ? bh : cbh;
+        const int nbw = ci == 0 ? bw : cbw;
+        const int gw = ci == 0 ? max_bw : cbw_max;
+        int16_t* base =
+            ci == 0 ? yout
+                    : cout_ + size_t(ci - 1) * cbh_max * cbw_max * m2;
+        for (int by = 0; by < nbh; by++) {
+          JBLOCKARRAY rows = (*cinfo.mem->access_virt_barray)(
+              reinterpret_cast<j_common_ptr>(&cinfo), coefs[ci], by, 1,
+              FALSE);
+          for (int bx = 0; bx < nbw; bx++) {
+            const JCOEF* blk = rows[0][bx];
+            int16_t* dst = base + (size_t(by) * gw + bx) * m2;
+            for (int u = 0; u < msub; u++) {
+              for (int v = 0; v < msub; v++) {
+                dst[u * msub + v] = blk[u * 8 + v];
+              }
+            }
+          }
+        }
+      }
+      jpeg_finish_decompress(&cinfo);
+      jpeg_destroy_decompress(&cinfo);
+      status[i] = 0;
+    }
+  };
+  std::vector<std::thread> pool;
+  for (int t = 0; t < n_threads; t++) pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
+  int ok = 0;
+  for (int i = 0; i < n; i++) ok += (status[i] == 0);
+  return ok;
+}
+
 // Version/self-test hook.
-int imgpipe_version() { return 2; }
+int imgpipe_version() { return 3; }
 
 }  // extern "C"
