@@ -186,7 +186,17 @@ def build_checker(conf, prefix="CHECK_", indexer=None, ingester=None,
     if indexer is None:
         indexer = build_indexer(conf, r.get_param("indexer_prefix", "KVI_"))
     if ingester is None:
-        ingester = LocalDirIngester(r.get_required_param("input_dir"))
+        # ingest_type selects where image messages come from: "local"
+        # walks CHECK_input_dir; "kafka"/"kinesis"/"memory" delegate to
+        # build_ingester under the IMG_ING_ prefix (the reference's
+        # checker consumes its images topic the same way,
+        # updater/extraction_checker.py:86-101).
+        ingest_type = r.get_param("ingest_type", "local")
+        if ingest_type == "local":
+            ingester = LocalDirIngester(r.get_required_param("input_dir"))
+        else:
+            ingester = build_ingester(
+                conf, r.get_param("ingester_prefix", "IMG_ING_"))
     extr_str = build_extr_str(r.get_param("featurizer_type", "sentibank"),
                               r.get_param("detector_type", "full"),
                               r.get_param("input_type", "image"))
@@ -308,6 +318,7 @@ def generate_conf_extractor(env=None):
         "detector_type": "EXTR_detector_type",
         "input_type": "EXTR_input_type",
         "input_dir": "CHECK_input_dir",
+        "ingest_type": "CHECK_ingest_type",
         "batch_update_size": "CHECK_batch_update_size",
         "db_path": "KVI_db_path",
         "nb_threads": "PROC_nb_threads",
