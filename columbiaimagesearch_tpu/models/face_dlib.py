@@ -174,6 +174,66 @@ def load_dlib_weights(blobs):
     return params
 
 
+WEIGHTS_ENV = "DLIB_FACE_WEIGHTS"
+
+
+def default_weights_path():
+    """Conventional pretrained-weights location: $DLIB_FACE_WEIGHTS or
+    ``<package>/models/weights/dlib_face.npz`` (the role of the
+    reference's auto-downloaded dlib_face_recognition_resnet_model_v1.dat,
+    featurizer/dlib_featurizer.py:1-47; no egress here, so weights are
+    dropped once via scripts/drop_weights.py)."""
+    import os
+
+    env = os.environ.get(WEIGHTS_ENV)
+    if env:
+        return env
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "weights", "dlib_face.npz")
+
+
+def save_params_npz(params, path):
+    """Persist params as a flat npz (keys ``stem/w``, ``blocks/3/w1``,
+    ``fc``)."""
+    import os
+
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    flat = {"fc": np.asarray(params["fc"])}
+    for k, v in params["stem"].items():
+        flat[f"stem/{k}"] = np.asarray(v)
+    for i, blk in enumerate(params["blocks"]):
+        for k, v in blk.items():
+            flat[f"blocks/{i}/{k}"] = np.asarray(v)
+    np.savez(path, **flat)
+
+
+def load_params_npz(path):
+    """Load params persisted by :func:`save_params_npz`."""
+    with np.load(path) as z:
+        params = {"fc": jnp.asarray(z["fc"]), "stem": {}, "blocks": []}
+        n_blocks = 1 + max(int(k.split("/")[1]) for k in z.files
+                           if k.startswith("blocks/"))
+        params["blocks"] = [{} for _ in range(n_blocks)]
+        for key in z.files:
+            if key.startswith("stem/"):
+                params["stem"][key.split("/")[1]] = jnp.asarray(z[key])
+            elif key.startswith("blocks/"):
+                _, i, k = key.split("/")
+                params["blocks"][int(i)][k] = jnp.asarray(z[key])
+    return params
+
+
+def load_default_weights():
+    """Load dropped pretrained weights from the conventional path, or
+    None (random init)."""
+    import os
+
+    path = default_weights_path()
+    if path and os.path.exists(path):
+        return load_params_npz(path)
+    return None
+
+
 class DlibExactFaceEmbedder:
     """FaceEmbedder-compatible facade over the import-exact net
     (``featurize(img, bbox) -> 128-d float64``, reference contract
@@ -183,6 +243,8 @@ class DlibExactFaceEmbedder:
     feat_type = "dlib"
 
     def __init__(self, params=None, seed: int = 0, aligner=None):
+        if params is None:
+            params = load_default_weights()
         self.pretrained = params is not None
         self.params = params if params is not None else init_params(seed)
         self.aligner = aligner
