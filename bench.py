@@ -208,21 +208,34 @@ def bench_searcher(args):
     from columbiaimagesearch_tpu.searcher.searcher_lopq import SearcherLOPQ
 
     t0 = time.time()
-    model, _, coarse_dev, fine_dev, make, key = setup_index(args, t0)
-    coarse = np.asarray(coarse_dev)
-    fine = np.asarray(fine_dev)
-    del coarse_dev, fine_dev
+    feats = None
+    if args.rerank:
+        # Production parity (reference serves reranking: true over
+        # lopq_pca, conf_search_sbpycaffe_release.json:12-16): reuse the
+        # serving setup's model+codes+feats cache so the rerank feature
+        # store is resident — the wave then takes the brute exact plan
+        # (tpu_query.brute_query_batch) when the cost model favors it.
+        model, coarse, fine, feats, make, key = setup_serving_index(
+            args, t0)
+    else:
+        model, _, coarse_dev, fine_dev, make, key = setup_index(args, t0)
+        coarse = np.asarray(coarse_dev)
+        fine = np.asarray(fine_dev)
+        del coarse_dev, fine_dev
     log(f"[{time.time()-t0:.1f}s] codes on host; building SearcherLOPQ")
 
     class _NoFeaturizer:  # queries arrive as features; bypass model build
         pass
 
     searcher = SearcherLOPQ(
-        model=model, V=args.V, M=args.M, model_type="lopq",
+        model=model, V=args.V, M=args.M,
+        model_type="lopq_pca" if args.rerank else "lopq",
+        pca_dims=(model.pca_P.shape[1] if args.rerank else 256),
         probe_width=args.probe_width, skip_get_sim_info=True,
         detector_type="full", featurizer=_NoFeaturizer(),
-        sim_limit=args.limit)
-    searcher.searcher.add_codes((coarse, fine))
+        sim_limit=args.limit,
+        reranking=args.rerank, rerank_nb=min(10 * args.limit, 1000))
+    searcher.searcher.add_codes((coarse, fine), feats=feats)
     s = time.perf_counter()
     nb = searcher.get_nb_indexed()  # forces the repack + device upload
     pack_s = time.perf_counter() - s
@@ -261,11 +274,39 @@ def bench_searcher(args):
     for round_i in range(2):
         key, ka = jax.random.split(key)
         extra = np.asarray(make(8000, ka))
-        co2, fi2 = searcher.model.predict_batch(extra)
+        if args.rerank:
+            # The resident store holds RENORMALIZED post-PCA rows
+            # (setup_serving_index project()); appended feats and codes
+            # must live in the same space, so project+renorm explicitly
+            # and encode from the projected rows (predict_batch would
+            # re-apply PCA without the renorm).
+            import jax.numpy as jnp
+
+            from columbiaimagesearch_tpu.index.tpu_encode import (
+                lopq_encode,
+            )
+
+            xp = np.asarray(searcher.model.apply_PCA(extra))
+            xp /= np.maximum(
+                np.linalg.norm(xp, axis=1, keepdims=True), 1e-30)
+            m = searcher.model
+            co2, fi2 = lopq_encode(
+                jnp.stack([jnp.asarray(C) for C in m.Cs]),
+                jnp.stack([jnp.asarray(R) for R in m.Rs]),
+                jnp.stack([jnp.asarray(mm) for mm in m.mus]),
+                jnp.stack([jnp.stack([jnp.asarray(ss) for ss in h])
+                           for h in m.subquantizers]),
+                jnp.asarray(xp), chunk=4096)
+            co2, fi2 = np.asarray(co2), np.asarray(fi2)
+            feats2 = xp
+        else:
+            co2, fi2 = searcher.model.predict_batch(extra)
+            feats2 = None
         s = time.perf_counter()
         searcher.searcher.add_codes(
             (co2, fi2),
-            ids=[f"new{round_i}_{i}" for i in range(len(co2))])
+            ids=[f"new{round_i}_{i}" for i in range(len(co2))],
+            feats=feats2)
         _, dt_inc = one_wave(key)
         inc_s = time.perf_counter() - s
         log(f"[{time.time()-t0:.1f}s] incremental append 8k round "
@@ -273,14 +314,18 @@ def bench_searcher(args):
             f"(search wave itself {dt_inc:.2f}s)")
 
     baseline_ms = 10.0
+    rr = "_rerank" if args.rerank else ""
     print(json.dumps({
-        "metric": f"p50_searcher_e2e_latency_{args.index_size >> 20}Mi_index",
+        "metric": (f"p50_searcher_e2e_latency{rr}"
+                   f"_{args.index_size >> 20}Mi_index"),
         "value": round(p50, 3),
         "unit": "ms",
         "vs_baseline": round(baseline_ms / p50, 2),
         "extra": {"pack_s": round(pack_s, 2),
                   "incremental_refresh_s": round(inc_s, 2),
-                  "nb_indexed": int(searcher.get_nb_indexed())},
+                  "nb_indexed": int(searcher.get_nb_indexed()),
+                  "brute_waves": searcher.searcher.probe_stats.get(
+                      "brute_waves", 0)},
     }))
 
 
@@ -463,31 +508,18 @@ def bench_extraction_e2e(args, n_images=512, reps=3):
     }))
 
 
-def bench_serving(args, n_threads=4, reqs_per_thread=10):
-    """HONEST serving latency: HTTP request with an encoded image ->
-    decode -> Sentibank fc7 -> PCA -> probed LOPQ search -> JSON, measured
-    end-to-end through the real server with concurrent clients. This is
-    the reference's headline qualitative claim ('find similar images in
-    less than a second', README.md:13) made quantitative, on the
-    reference's production model type (lopq_pca over 4096-d features)."""
-    import base64
-    import io
-    import json as _json
-    import threading
-    import urllib.request
-
+def setup_serving_index(args, t0):
+    """Serving-grade setup: lopq_pca over synthetic 4096-d features,
+    codes + index-space features cached on disk (shared by the serving
+    HTTP modes and the searcher --rerank mode so they rank the same
+    index). Returns (model, coarse, fine, feats, make, key)."""
     import jax
     import jax.numpy as jnp
-    from PIL import Image
 
-    from columbiaimagesearch_tpu.api.app import make_server
     from columbiaimagesearch_tpu.index.model import LOPQModelPCA
     from columbiaimagesearch_tpu.index.tpu_encode import lopq_encode
-    from columbiaimagesearch_tpu.models.sentibank import SentibankFeaturizer
-    from columbiaimagesearch_tpu.searcher.searcher_lopq import SearcherLOPQ
     from columbiaimagesearch_tpu.utils.chunking import round_up
 
-    t0 = time.time()
     log(f"devices: {jax.devices()}")
     D_FEAT, PCA_D = 4096, 256
     n_index = args.index_size
@@ -577,6 +609,32 @@ def bench_serving(args, n_threads=4, reqs_per_thread=10):
                  feats=feats_all)
         os.replace(cache + ".codes.npz.tmp.npz", cache + ".codes.npz")
         feats = feats_all if args.rerank else None
+    return model, coarse, fine, feats, make, key
+
+
+def bench_serving(args, n_threads=4, reqs_per_thread=10):
+    """HONEST serving latency: HTTP request with an encoded image ->
+    decode -> Sentibank fc7 -> PCA -> probed LOPQ search -> JSON, measured
+    end-to-end through the real server with concurrent clients. This is
+    the reference's headline qualitative claim ('find similar images in
+    less than a second', README.md:13) made quantitative, on the
+    reference's production model type (lopq_pca over 4096-d features)."""
+    import base64
+    import io
+    import json as _json
+    import threading
+    import urllib.request
+
+    from PIL import Image
+
+    from columbiaimagesearch_tpu.api.app import make_server
+    from columbiaimagesearch_tpu.models.sentibank import SentibankFeaturizer
+    from columbiaimagesearch_tpu.searcher.searcher_lopq import SearcherLOPQ
+
+    t0 = time.time()
+    n_index = args.index_size
+    PCA_D = 256
+    model, coarse, fine, feats, make, key = setup_serving_index(args, t0)
 
     searcher = SearcherLOPQ(
         model=model, model_type="lopq_pca", V=args.V, M=args.M,

@@ -495,6 +495,26 @@ class LOPQSearcherTPU(LOPQSearcherBase):
         dev["cell_start"] = cell_start
         dev["order"] = order
         dev["feats"] = self._buf_feats if self._feats is not None else None
+        if dev["feats"] is not None:
+            # Brute exact-path metadata (tpu_query.brute_query_batch):
+            # per-row ||f||^2 (pad rows are zeros -> masked by nb at query
+            # time) and the occupied-cell count reported as ``visited``.
+            f = dev["feats"]
+            dev["feats_sq"] = jnp.sum(
+                f.astype(jnp.float32) * f.astype(jnp.float32), axis=1)
+            if cell_start is not None:
+                dev["n_occ"] = jnp.sum(
+                    (cell_start[1:] > cell_start[:-1]).astype(jnp.int32))
+            else:
+                cs = cells_sorted
+                sent = jnp.int32(V * V)
+                dev["n_occ"] = (
+                    jnp.sum(((cs[1:] != cs[:-1])
+                             & (cs[1:] < sent)).astype(jnp.int32))
+                    + (cs[0] < sent).astype(jnp.int32))
+        else:
+            dev["feats_sq"] = None
+            dev["n_occ"] = None
         self._dev = dev
         self._dirty = False
 
@@ -534,6 +554,76 @@ class LOPQSearcherTPU(LOPQSearcherBase):
         from columbiaimagesearch_tpu.index.tpu_query import probe_ladder
 
         return probe_ladder(self.model.V, self.probe_width)
+
+    def _use_brute(self, d, nq, quota, nb, R):
+        """Plan choice for a rerank wave: one exact brute pass over the
+        resident feature store vs the grid probe ladder (see
+        tpu_query.prefer_brute's cost model). Only available in rerank
+        mode — the brute path's contract (true-L2 distances over ALL
+        rows) is the reference's rerank contract taken to quota -> nb;
+        the non-rerank contract (ADC distances over quota-limited
+        candidates) keeps the ladder. An explicit probe_width pin keeps
+        the grid path too (benchmarking knob)."""
+        if not R or d.get("feats") is None or self.probe_width:
+            return False
+        import jax.numpy as jnp
+
+        from columbiaimagesearch_tpu.index.tpu_query import (prefer_brute,
+                                                             rung_floor)
+
+        ladder = self._probe_ladder()
+        with self._mutlock:
+            floor = rung_floor(ladder, quota, nb, self.model.V,
+                               self._yield_ema)
+        feats = d["feats"]
+        fb = 2 if feats.dtype == jnp.bfloat16 else 4
+        return prefer_brute(ladder[floor:], nq, nb, self.model.V,
+                            feats.shape[1], fb)
+
+    def _run_brute(self, X_dev, d, nb, R, K_emit, n_valid=None,
+                   fused=False, renorm=False):
+        """One exact brute wave: packed launch + stats. ``X_dev``:
+        [nq, Dr] index-space queries — or raw features when ``fused``
+        (normalize + PCA happen in-program, the serving fast path)."""
+        import jax.numpy as jnp
+
+        from columbiaimagesearch_tpu.index.tpu_query import (
+            brute_query_batch,
+            fused_feat_brute,
+            unpack_query_out,
+        )
+
+        if fused:
+            packed = np.asarray(fused_feat_brute(
+                jnp.asarray(X_dev), d.get("pca_P"), d.get("pca_mu"),
+                d["feats"], d["feats_sq"], jnp.int32(nb), d["n_occ"],
+                K_pre=R, K_out=K_emit, renorm=renorm))
+        else:
+            packed = np.asarray(brute_query_batch(
+                jnp.asarray(X_dev), d["feats"], d["feats_sq"],
+                jnp.int32(nb), d["n_occ"], K_pre=R, K_out=K_emit))
+        k = n_valid if n_valid is not None else packed.shape[0]
+        with self._mutlock:
+            self.probe_stats["waves"] += 1
+            self.probe_stats["brute_waves"] = (
+                self.probe_stats.get("brute_waves", 0) + 1)
+        return unpack_query_out(packed[:k], K_emit)
+
+    @staticmethod
+    def _chunk_waves(run_tier, nq_cap):
+        """Wrap ``run_tier`` so big-quota waves split into <= nq_cap
+        query chunks: per-query device transients scale with the
+        candidate budget Q, so NQ x Q is capped to bound HBM (a
+        128-query wave at quota=100k allocated tens of GB — r04 4M
+        adversarial sweep OOM)."""
+        def wrapped(idx, rung):
+            if len(idx) <= nq_cap:
+                return run_tier(idx, rung)
+            parts = [run_tier(idx[i:i + nq_cap], rung)
+                     for i in range(0, len(idx), nq_cap)]
+            return tuple(np.concatenate([p[j] for p in parts])
+                         for j in range(5))
+        return wrapped
 
     def _escalate(self, run_tier, n, quota, nb, K_pad):
         """Ladder escalation with a quota-aware rung floor plus tier-hint
@@ -624,6 +714,20 @@ class LOPQSearcherTPU(LOPQSearcherBase):
         K, Q, K_stage, R, K_emit = _query_geometry(quota, limit, nb,
                                                    rerank_nb)
 
+        if self._use_brute(d, len(X), quota, nb, R):
+            Xw, k = pad_rows(X, wave_bucket(len(X)))
+            rows_b, dists_b, _, ncells_b, _ = self._run_brute(
+                Xw, d, nb, R, K_emit, n_valid=len(X))
+            K_out = min(K, K_emit)
+            return [
+                (self._rows_to_results(rows_b[i][:K_out],
+                                       dists_b[i][:K_out], with_dists,
+                                       ids_arr, cells_arr, fine_arr,
+                                       with_codes=with_codes),
+                 int(ncells_b[i]))
+                for i in range(len(X))
+            ]
+
         def run_tier(idx, rung):
             B, SB = rung_parts(rung)
 
@@ -652,7 +756,8 @@ class LOPQSearcherTPU(LOPQSearcherBase):
             return unpack_query_out(packed[:k], K_emit)
 
         rows_b, dists_b, ncells_b = self._escalate(
-            run_tier, len(X), quota, nb, K_emit)
+            self._chunk_waves(run_tier, max(8, (2 << 20) // max(Q, 1))),
+            len(X), quota, nb, K_emit)
         K_out = min(K, K_emit)
         return [
             (self._rows_to_results(rows_b[i][:K_out], dists_b[i][:K_out],
@@ -736,6 +841,21 @@ class LOPQSearcherTPU(LOPQSearcherBase):
         K, Q, K_stage, R, K_emit = _query_geometry(quota, limit, nb,
                                                    rerank_nb)
 
+        if self._use_brute(d, nq, quota, nb, R):
+            Xw, _ = pad_rows(feats_dev, wave_bucket(nq))
+            rows_b, dists_b, _, ncells_b, _ = self._run_brute(
+                Xw, d, nb, R, K_emit, n_valid=nq, fused=True,
+                renorm=renorm)
+            K_out = min(K, K_emit)
+            return [
+                (self._rows_to_results(rows_b[i][:K_out],
+                                       dists_b[i][:K_out], with_dists,
+                                       ids_arr, cells_arr, fine_arr,
+                                       with_codes=False),
+                 int(ncells_b[i]))
+                for i in range(nq)
+            ]
+
         def run_tier(idx, rung):
             B, SB = rung_parts(rung)
             if len(idx) == nq:
@@ -758,7 +878,8 @@ class LOPQSearcherTPU(LOPQSearcherBase):
             return unpack_query_out(packed[:k], K_emit)
 
         rows_b, dists_b, ncells_b = self._escalate(
-            run_tier, nq, quota, nb, K_emit)
+            self._chunk_waves(run_tier, max(8, (2 << 20) // max(Q, 1))),
+            nq, quota, nb, K_emit)
         K_out = min(K, K_emit)
         return [
             (self._rows_to_results(rows_b[i][:K_out], dists_b[i][:K_out],
@@ -798,6 +919,16 @@ class LOPQSearcherTPU(LOPQSearcherBase):
         K, Q, K_stage, R, K_emit = _query_geometry(quota, limit, nb,
                                                    rerank_nb)
         xd = jnp.asarray(np.asarray(x, dtype=np.float32))
+
+        if self._use_brute(d, 1, quota, nb, R):
+            rows_b, dists_b, _, ncells_b, _ = self._run_brute(
+                xd[None, :], d, nb, R, K_emit)
+            K_out = min(K, K_emit)
+            return (self._rows_to_results(rows_b[0][:K_out],
+                                          dists_b[0][:K_out], with_dists,
+                                          ids_arr, cells_arr, fine_arr),
+                    int(ncells_b[0]))
+
         cs = d["cells_sorted"] if d.get("cell_start") is None else None
 
         def run_tier(idx, rung):

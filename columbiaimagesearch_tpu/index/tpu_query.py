@@ -336,10 +336,13 @@ def lopq_query(
                                     side="right").astype(jnp.int32)
             cntf = ends - startsf
         else:
-            bounds = cell_start[
-                cidf[:, None] + jnp.arange(2, dtype=jnp.int32)[None, :]]
-            startsf = bounds[:, 0]
-            cntf = bounds[:, 1] - startsf
+            # Two flat [G] gathers, NOT a [G, 2] sliced gather: TPU tile
+            # layout pads the minor dim 128x, so under a serving vmap the
+            # [G, 2] form allocates ~wave * G * 256 bytes — a 32 GB OOM at
+            # rung (512, 32) with a 128-query wave (seen in the r04 4M
+            # adversarial sweep). Same fix as the wide square path below.
+            startsf = cell_start[cidf]
+            cntf = cell_start[cidf + 1] - startsf
         # One sort carries every payload the slot machinery needs —
         # no post-sort gathers, no [G, k] meta table (whose minor-dim
         # tile padding would cost 16x memory under the serving vmap).
@@ -521,7 +524,14 @@ def lopq_query(
     else:
         cand_codes = codes[rows].astype(jnp.int32)    # [Q, M]
 
-    if sort_grid:
+    # One-hot LUT ADC only at moderate candidate budgets: the [Q, F*S]
+    # one-hot (and the s32 broadcast XLA materializes to build it) scales
+    # with Q x F x S per query — at quota=100k (Q~101376) under a
+    # 128-query vmap that allocation alone is ~53 GB (seen in the r04 4M
+    # adversarial sweep). Past the cutoff every path takes the streaming
+    # rotated-residual route below (O(Q x Dh) transients).
+    use_lut = sort_grid and Q <= 16384
+    if use_lut:
         # ADC lookup tables for the probed clusters. "pallas": per-cluster
         # DMA kernel (fastest single-query path; not vmap-safe). "stream":
         # rotate residuals for ALL V clusters with one streaming batched
@@ -646,6 +656,152 @@ def lopq_query_rerank(x, feats, Cs, Rs, mus, subs, codes, cell_start, order,
     top_neg, idx = jax.lax.top_k(-exact, min(K_out, R) if K_out else R)
     top_rows = jnp.where(jnp.isfinite(top_neg), rR[idx], -1)
     return top_rows, -top_neg, total, n_cells, grid_ok
+
+
+# --------------------------------------------------------------------- brute
+# Exact search over the resident rerank feature store. When the searcher
+# serves with reranking (the reference's production config,
+# conf/conf_search_sbpycaffe_release.json:16) the full index-space feature
+# matrix is HBM-resident anyway — and on TPU one [N, Dr] x [Dr, NQ] MXU
+# pass over it is CHEAPER than a wide probe rung: the matmul streams the
+# matrix once per wave at HBM bandwidth (~12 ms for 10M x 256 f32, shared
+# by every query in the wave), while the grid path pays ~70 ns per probed
+# cell per query (measured, benchmarks/r04_probe_rung_10Mi.json) plus
+# per-element gathers at ~8 ns (module docstring). It is also EXACT: the
+# quota walk, the grid restriction, and the certificate all vanish — this
+# is the quota -> nb limit of the reference's probe-then-rerank contract,
+# returning true-L2 top-K (strictly better recall at equal-or-lower cost).
+#
+# Two stages keep it fast AND exact: a default-precision (bf16 on TPU)
+# matmul preselects K_pre rows per query — distances use the identity
+# ||f - x||^2 = ||f||^2 - 2 f.x + const(x), with ||f||^2 precomputed once
+# per pack — then the K_pre survivors are re-scored in f32 (highest) and
+# re-sorted, exactly like the reference's rerank of its ADC candidates
+# (searcher_lopqhbase.py:862-912). K_pre >= 4x the emitted depth makes a
+# bf16-preselect miss of a true top-K row practically impossible (bf16
+# keeps ~3 significant decimal digits; candidates that close re-sort in
+# the f32 stage anyway).
+
+
+@functools.partial(jax.jit, static_argnames=("K_pre", "K_out", "QCH"))
+def brute_query_batch(X, feats, feats_sq, nb, n_occ, *,
+                      K_pre: int, K_out: int, QCH: int = 16):
+    """Exact top-``K_out`` by true L2 over the resident feature store.
+
+    :param X: [NQ, Dr] index-space queries (already normalized/projected)
+    :param feats: [cap, Dr] insertion-order feature matrix (f32 or bf16)
+    :param feats_sq: [cap] f32 precomputed row norms^2 (+inf on pad rows)
+    :param nb: traced int32 — occupied rows (rows >= nb are capacity pads)
+    :param n_occ: traced int32 — occupied cells, reported as ``visited``
+    :param K_pre: preselect depth (>= K_out; typically the rerank depth)
+    :param QCH: query-chunk size (bounds the [QCH, cap] score transient)
+    :returns: packed [NQ, 2*K_out + 3] int32 (see pack_query_out); rows
+        are INSERTION-order (feats row space = external row space, no
+        ``order`` mapping), dists are true L2 norms.
+    """
+    NQ, Dr = X.shape
+    cap = feats.shape[0]
+    K_pre = min(K_pre, cap)
+    K_out = min(K_out, K_pre)
+    L = min(8192, cap)                      # top-k tile
+    capL = ((cap + L - 1) // L) * L
+    kt = min(K_pre, L)
+    valid_row = jnp.arange(cap, dtype=jnp.int32)
+
+    def one_chunk(Xc):                      # [QCH, Dr] -> [QCH, 2*K_out+3]
+        # Preselect: default precision (bf16 passes on TPU) — ranking-only.
+        # dot_general with a contracted axis (no .T / no dtype copy of the
+        # multi-GB store: the query side is cast instead).
+        S = jax.lax.dot_general(
+            Xc.astype(feats.dtype), feats,
+            (((1,), (1,)), ((), ()))).astype(jnp.float32)   # [QCH, cap]
+        pre = feats_sq[None, :] - 2.0 * S
+        pre = jnp.where((valid_row < nb)[None, :], pre, jnp.inf)
+        if capL != cap:
+            pre = jnp.pad(pre, ((0, 0), (0, capL - cap)),
+                          constant_values=jnp.inf)
+        pre = pre.reshape(Xc.shape[0], capL // L, L)
+        negv, idx = jax.lax.top_k(-pre, kt)                 # [Q, C, kt]
+        gidx = idx + (jnp.arange(capL // L, dtype=jnp.int32) * L)[None, :,
+                                                                  None]
+        negf, sel = jax.lax.top_k(negv.reshape(Xc.shape[0], -1), K_pre)
+        rows_pre = jnp.take_along_axis(
+            gidx.reshape(Xc.shape[0], -1), sel, axis=1)     # [Q, K_pre]
+        rows_pre = jnp.where(jnp.isfinite(negf), rows_pre, 0)
+        # Exact stage: f32 re-score of the K_pre survivors.
+        cand = feats[rows_pre].astype(jnp.float32)          # [Q, K_pre, Dr]
+        diff = cand - Xc[:, None, :]
+        exact = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
+        exact = jnp.where(jnp.isfinite(negf), exact, jnp.inf)
+        top_neg, ti = jax.lax.top_k(-exact, K_out)          # [Q, K_out]
+        top_rows = jnp.where(jnp.isfinite(top_neg),
+                             jnp.take_along_axis(rows_pre, ti, axis=1), -1)
+        total = jnp.broadcast_to(nb.astype(jnp.int32), (Xc.shape[0],))
+        ncl = jnp.broadcast_to(n_occ.astype(jnp.int32), (Xc.shape[0],))
+        ok = jnp.ones((Xc.shape[0],), jnp.int32)
+        return jax.vmap(pack_query_out)(top_rows, -top_neg, total, ncl, ok)
+
+    pad_q = (-NQ) % QCH
+    Xp = jnp.pad(X.astype(jnp.float32), ((0, pad_q), (0, 0)))
+    out = jax.lax.map(one_chunk, Xp.reshape(-1, QCH, Dr))
+    return out.reshape(NQ + pad_q, -1)[:NQ]
+
+
+@functools.partial(jax.jit, static_argnames=("K_pre", "K_out", "QCH",
+                                             "renorm"))
+def fused_feat_brute(X, pca_P, pca_mu, feats, feats_sq, nb, n_occ, *,
+                     K_pre: int, K_out: int, QCH: int = 16,
+                     renorm: bool = False):
+    """Raw features -> brute exact search in one program: L2-normalize,
+    optional PCA (+renorm), then :func:`brute_query_batch` — the serving
+    fast path's brute twin of :func:`fused_feat_query`."""
+    X = X.astype(jnp.float32)
+    Xn = X / jnp.maximum(jnp.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+    if pca_P is not None:
+        Xp = jnp.dot(Xn - pca_mu[None, :], pca_P, precision="highest")
+        if renorm:
+            Xp = Xp / jnp.maximum(
+                jnp.linalg.norm(Xp, axis=1, keepdims=True), 1e-30)
+        Xn = Xp
+    return brute_query_batch(Xn, feats, feats_sq, nb, n_occ,
+                             K_pre=K_pre, K_out=K_out, QCH=QCH)
+
+
+#: Cost model for the plan choice (brute vs probe ladder), measured on
+#: v5e at the 10M/V=4096 config (benchmarks/r04_probe_rung_10Mi.json:
+#: rung latency ~= GRID_NS_FIXED + GRID_NS_PER_CELL * G). The brute pass
+#: streams feats once per WAVE (cost shared by nq queries) plus a small
+#: per-query MXU term. Conservative until re-measured after each kernel
+#: change — the plan only switches when brute wins by a clear margin.
+GRID_NS_PER_CELL = 70.0
+GRID_NS_FIXED = 550e3
+BRUTE_HBM_GBPS = 600.0      # effective stream bandwidth (of 819 peak)
+BRUTE_NS_FIXED = 300e3
+
+
+def rung_cells(spec, V):
+    """Probed-region size G of a ladder rung."""
+    B, SB = rung_parts(spec)
+    B = min(B, V)
+    if not SB or B >= V:
+        return B * B
+    SL = min(8 * B, V)
+    return SB * SL + (B - SB) * B + (SL - B) * SB
+
+
+def prefer_brute(ladder_tail, nq, nb, V, Dr, feat_bytes=4):
+    """True when one exact brute wave over the feature store is cheaper
+    than the grid ladder's starting rung for this wave. ``ladder_tail``
+    is the ladder from its floor rung on (empty -> brute wins by
+    default)."""
+    if not ladder_tail:
+        return True
+    brute_ns = (BRUTE_NS_FIXED
+                + nb * Dr * feat_bytes / BRUTE_HBM_GBPS / max(nq, 1)
+                + nb * Dr * 2 / 394e3)   # per-query MXU term (ns)
+    g = rung_cells(ladder_tail[0], V)
+    grid_ns = GRID_NS_FIXED + GRID_NS_PER_CELL * g
+    return brute_ns < grid_ns
 
 
 #: Adaptive probe-width ladder. The reference's ``get_result_quota`` walks

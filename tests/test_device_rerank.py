@@ -55,8 +55,12 @@ def oracle_rerank(model, X, coarse, fine, ids, q, quota, rerank_nb, limit,
 
 
 def test_search_batch_rerank_matches_oracle(setup):
+    # probe_width pins the grid path: the quota-limited rerank contract
+    # under test. The default plan routes small rerank waves to the brute
+    # exact path (true top-K, a strictly better set) — tests/test_brute.py
+    # covers that contract.
     model, params, X, coarse, fine, ids, queries = setup
-    s = LOPQSearcherTPU(model)
+    s = LOPQSearcherTPU(model, probe_width=16)
     s.add_codes((coarse, fine), ids, feats=X)
     assert s.has_rerank_feats
     waves = s.search_batch(queries, quota=200, limit=50, with_dists=True,
@@ -75,7 +79,7 @@ def test_search_batch_rerank_matches_oracle(setup):
 
 def test_search_single_rerank(setup):
     model, params, X, coarse, fine, ids, queries = setup
-    s = LOPQSearcherTPU(model)
+    s = LOPQSearcherTPU(model, probe_width=16)  # grid path (see above)
     s.add_codes((coarse, fine), ids, feats=X)
     results, _ = s.search(queries[0], quota=200, limit=50, with_dists=True,
                           rerank_nb=20)
@@ -84,6 +88,32 @@ def test_search_single_rerank(setup):
                                      limit=20)
     np.testing.assert_allclose([r.dist for r in results], want_d,
                                rtol=1e-4, atol=1e-5)
+
+
+def test_adaptive_ladder_rerank_matches_oracle(setup, monkeypatch):
+    """The ADAPTIVE ladder's fused rerank (grid escalation + device
+    re-sort) still matches the quota-limited oracle when the brute plan
+    is disabled — covers the production path the cost model picks for
+    large-index single-query waves."""
+    import columbiaimagesearch_tpu.index.tpu_query as tq
+
+    monkeypatch.setattr(tq, "prefer_brute",
+                        lambda *a, **k: False)
+    model, params, X, coarse, fine, ids, queries = setup
+    s = LOPQSearcherTPU(model)
+    s.add_codes((coarse, fine), ids, feats=X)
+    waves = s.search_batch(queries[:2], quota=200, limit=30,
+                           with_dists=True, rerank_nb=30)
+    assert s.probe_stats.get("brute_waves", 0) == 0
+    for q, (results, _) in zip(queries[:2], waves):
+        want_ids, want_d = oracle_rerank(model, X, coarse, fine, ids, q,
+                                         quota=200, rerank_nb=30, limit=30)
+        got_d = [r.dist for r in results]
+        np.testing.assert_allclose(got_d, want_d, rtol=1e-4, atol=1e-5)
+        for i, (a, b) in enumerate(zip([r.id for r in results],
+                                       want_ids)):
+            if a != b:  # float-tie swaps only
+                assert abs(got_d[i] - want_d[i]) < 1e-4
 
 
 def test_rerank_without_store_raises(setup):
@@ -141,7 +171,7 @@ def test_pca_fused_device_feats_rerank():
     coarse, fine = model.predict_batch(X_raw)
     ids = [f"p_{i}" for i in range(n)]
 
-    s = LOPQSearcherTPU(model)
+    s = LOPQSearcherTPU(model, probe_width=8)  # grid path (see above)
     s.add_codes((coarse, fine), ids, feats=Xp)
     q_raw = X_raw[123] * 2.5  # un-normalized raw feature
     waves = s.search_device_feats(jnp.asarray(q_raw[None]), quota=300,
@@ -217,7 +247,7 @@ def test_rerank_depth_decoupled_from_output_limit(setup):
     (index/searcher._query_geometry K_out); results must equal the
     truncated full-depth oracle, for both batch and single paths."""
     model, params, X, coarse, fine, ids, queries = setup
-    s = LOPQSearcherTPU(model)
+    s = LOPQSearcherTPU(model, probe_width=16)  # grid path (see above)
     s.add_codes((coarse, fine), ids, feats=X)
     for path in ("batch", "single"):
         for q in queries[:3]:
