@@ -137,6 +137,86 @@ def render_face(identity: int, size: int = FACE_CANVAS):
     return img.astype(np.float32), bbox
 
 
+def landmarks68(identity: int, size: int = FACE_CANVAS):
+    """Analytic ibug-68 landmarks for :func:`render_face`'s geometry.
+
+    The reference aligns faces with dlib's 68-point shape predictor
+    (reference: cufacesearch/cufacesearch/featurizer/dlib_featurizer.py:
+    50-105); its training set is annotated photos. Here the renderer IS
+    the annotation: every landmark position is a closed-form function of
+    the identity parameters, so 68-point training data is exact and free.
+    Ordering follows the ibug convention (0-16 jaw, 17-26 brows, 27-35
+    nose, 36-47 eyes, 48-67 lips); coordinates are (x, y) pixels on the
+    ``size`` x ``size`` canvas, matching ``render_face(identity, size)``.
+    """
+    p = sample_identity(identity)
+    cx, cy = 0.5, 0.52
+    rw, rh = p["face_w"] / 2, p["face_h"] / 2
+    ey = cy - rh + p["eye_y"] * 2 * rh
+    pts = np.zeros((68, 2), dtype=np.float64)
+
+    # 0-16 jaw: along the face ellipse from eye level (left), through the
+    # chin, back up to eye level (right). Ellipse param: x = cx + rw sin t,
+    # y = cy + rh cos t; t = 0 is the chin bottom.
+    t_eye = np.arccos(np.clip((ey - cy) / rh, -1.0, 1.0))
+    ts = np.linspace(-t_eye, t_eye, 17)
+    pts[0:17, 0] = cx + rw * np.sin(ts)
+    pts[0:17, 1] = cy + rh * np.cos(ts)
+
+    # 17-26 brows: 5 points along each tilted brow bar (centerline
+    # y = by + tilt (x - ex); bar half-span 1.5 eye_w).
+    by_off = p["brow_dy"]
+    for sgn, sl in ((-1, slice(17, 22)), (1, slice(22, 27))):
+        ex = cx + sgn * p["eye_dx"] * 2 * rw
+        xs = ex + np.linspace(-1.2, 1.2, 5) * p["eye_w"]
+        pts[sl, 0] = xs
+        pts[sl, 1] = (ey - by_off) + sgn * p["brow_tilt"] * (xs - ex)
+
+    # 27-30 nose bridge (top -> tip), 31-35 nose base with nostrils at
+    # cx +- 0.7 nose_w (the renderer's nostril dot centers).
+    ny0, ny1 = ey + 0.02, ey + p["nose_len"]
+    pts[27:31, 0] = cx
+    pts[27:31, 1] = np.linspace(ny0, ny1, 4)
+    pts[31:36, 0] = cx + np.linspace(-0.7, 0.7, 5) * p["nose_w"]
+    pts[31:36, 1] = ny1
+
+    # 36-47 eyes: 6 points on each sclera ellipse (rx = eye_w,
+    # ry = eye_w * eye_h_ratio). ibug runs leftmost corner, 2 top,
+    # rightmost corner, 2 bottom for both eyes in image coords.
+    rx, ry = p["eye_w"], p["eye_w"] * p["eye_h_ratio"]
+    angles = np.deg2rad([180.0, 135.0, 45.0, 0.0, -45.0, -135.0])
+    for sgn, sl in ((-1, slice(36, 42)), (1, slice(42, 48))):
+        ex = cx + sgn * p["eye_dx"] * 2 * rw
+        pts[sl, 0] = ex + rx * np.cos(angles)
+        pts[sl, 1] = ey - ry * np.sin(angles)
+
+    # 48-67 lips around the mouth bar: centerline y = my + curve(rel),
+    # rel = (x - cx)/mouth_w, curve = mouth_curve * 0.03 * rel^2; outer
+    # lip extends mouth_h above/below, inner lip half that.
+    my, mw, mh = (cy - rh + p["mouth_y"] * 2 * rh), p["mouth_w"], p["mouth_h"]
+
+    def lip(rel, v_sign, depth):
+        x = cx + rel * mw
+        y = my + p["mouth_curve"] * 0.03 * rel ** 2 \
+            + v_sign * depth * np.sqrt(np.maximum(1.0 - rel ** 2, 0.0))
+        return x, y
+
+    rel_top = np.linspace(-1.0, 1.0, 7)          # 48..54
+    xs, ys = lip(rel_top, -1.0, mh)
+    pts[48:55, 0], pts[48:55, 1] = xs, ys
+    rel_bot = np.linspace(1.0, -1.0, 7)[1:-1]    # 55..59 (right -> left)
+    xs, ys = lip(rel_bot, 1.0, mh)
+    pts[55:60, 0], pts[55:60, 1] = xs, ys
+    rel_itop = np.linspace(-1.0, 1.0, 5)         # 60..64
+    xs, ys = lip(rel_itop, -1.0, mh * 0.5)
+    pts[60:65, 0], pts[60:65, 1] = xs, ys
+    rel_ibot = np.linspace(1.0, -1.0, 5)[1:-1]   # 65..67
+    xs, ys = lip(rel_ibot, 1.0, mh * 0.5)
+    pts[65:68, 0], pts[65:68, 1] = xs, ys
+
+    return (pts * size).astype(np.float32)
+
+
 # --------------------------------------------------------------- negatives
 
 def render_hard_negative(kind: int, seed: int, size: int = FACE_CANVAS):
