@@ -343,11 +343,16 @@ def lopq_query(
             # adversarial sweep). Same fix as the wide square path below.
             startsf = cell_start[cidf]
             cntf = cell_start[cidf + 1] - startsf
-        # One sort carries every payload the slot machinery needs —
-        # no post-sort gathers, no [G, k] meta table (whose minor-dim
-        # tile padding would cost 16x memory under the serving vmap).
-        gr_s, cnt_s, starts_s, rg_s, cg_s = jax.lax.sort(
-            (gridf, cntf, startsf, rg, cg), num_keys=1)
+        # Sort ONLY (key, index): the rung's cost is sort-data-movement-
+        # bound (~75 ns per region cell measured across all strip rungs,
+        # benchmarks/r04_probe_rung_10Mi.json), so carrying 5 operands
+        # through every sorting-network pass doubles the rung cost vs
+        # permuting the one [G] payload the selection scan needs (counts)
+        # and resolving the rest (starts/rg/cg) with [Q]-sized gathers at
+        # slot-resolution time. lax.sort is stable, so tie order — the
+        # reference heap's arbitrary tie order — is unchanged.
+        gr_s, perm = jax.lax.sort((gridf, g), num_keys=1)
+        cnt_s = cntf[perm]
         csum = jnp.cumsum(cnt_s)
         selected = (csum - cnt_s) < quota
         sel_counts = jnp.where(selected, cnt_s, 0)
@@ -359,9 +364,10 @@ def lopq_query(
         b_for_j = jnp.cumsum(markers)[:Q]
         b_for_j = jnp.minimum(b_for_j, G - 1)
         bucket_begin = scs[b_for_j] - sel_counts[b_for_j]
-        rows = starts_s[b_for_j] + (j - bucket_begin)
-        slot0 = rg_s[b_for_j]                         # ranks into i0f/i1f
-        slot1 = cg_s[b_for_j]
+        orig_j = perm[b_for_j]                        # [Q] region index
+        rows = startsf[orig_j] + (j - bucket_begin)
+        slot0 = rg[orig_j]                            # ranks into i0f/i1f
+        slot1 = cg[orig_j]
     else:
         # Sort-free quota prefix: theta = the smallest grid distance whose
         # <=-cumulative candidate count reaches the quota — exactly the
