@@ -325,7 +325,9 @@ def bench_searcher(args):
                   "incremental_refresh_s": round(inc_s, 2),
                   "nb_indexed": int(searcher.get_nb_indexed()),
                   "brute_waves": searcher.searcher.probe_stats.get(
-                      "brute_waves", 0)},
+                      "brute_waves", 0),
+                  "wave_log": searcher.searcher.probe_stats.get(
+                      "wave_log", [])},
     }))
 
 

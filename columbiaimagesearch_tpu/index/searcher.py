@@ -662,6 +662,15 @@ class LOPQSearcherTPU(LOPQSearcherBase):
             self.probe_stats["waves"] += 1
             self.probe_stats["escalated_queries"] += int(
                 round(frac_short * n))
+            # Rolling per-wave trace (start rung, frac escalated, floor,
+            # yield EMA) — the ladder's economics are only diagnosable
+            # with this (e.g. a hint stuck one rung low re-pays an
+            # escalation every wave); surfaces in /status and bench extra.
+            self.probe_stats.setdefault("wave_log", []).append(
+                [start, round(float(frac_short), 3), floor,
+                 None if self._yield_ema is None
+                 else round(float(self._yield_ema), 2)])
+            del self.probe_stats["wave_log"][:-64]
         return rows, dists, ncells
 
     def search_batch(self, X, quota=10, limit=None, with_dists=False,

@@ -518,6 +518,12 @@ class ShardedLOPQIndex:
             self.probe_stats["waves"] += 1
             self.probe_stats["escalated_queries"] += int(
                 round(frac_short * nq))
+            # Same rolling per-wave trace as LOPQSearcherTPU._escalate.
+            self.probe_stats.setdefault("wave_log", []).append(
+                [start, round(float(frac_short), 3), floor,
+                 None if self._yield_ema is None
+                 else round(float(self._yield_ema), 2)])
+            del self.probe_stats["wave_log"][:-64]
         K_out = min(K, K_emit) if R else K
         out = []
         for i in range(nq):
