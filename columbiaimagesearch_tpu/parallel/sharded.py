@@ -438,6 +438,142 @@ class ShardedLOPQIndex:
         self._qfns[key] = fn
         return fn
 
+    def _brute_query_fn(self, Dr, K_pre, K_out):
+        """Mesh-wide exact brute search over the sharded feature store:
+        each shard streams its own [cap_per, Dr] slice once (bf16-safe
+        preselect by ||f||^2 - 2 f.x, f32 re-score of the K_pre
+        survivors — same two-stage contract as tpu_query.
+        brute_query_batch), all_gathers the per-shard exact top-k, and
+        merges. Per-shard top-K_out sets cover the global top-K_out, so
+        the merge is exact. This is what makes reranking-ON production
+        search exact at scales where one chip cannot hold the feature
+        store (100M x 256 f32 = 107 GB -> 13 GB/shard on 8 chips)."""
+        key = ("brute", Dr, K_pre, K_out)
+        cached = self._qfns.get(key)
+        if cached is not None:
+            return cached
+        mesh = self.mesh
+        n_dev = mesh.devices.size
+
+        def shard_brute(X, feats, feats_sq, nglob, n_occ):
+            f = feats[0]                          # [cap_per, Dr]
+            fsq = feats_sq[0]                     # [cap_per]
+            cap = f.shape[0]
+            shard_id = jax.lax.axis_index(SHARD_AXIS).astype(jnp.int32)
+            slots = jnp.arange(cap, dtype=jnp.int32)
+            gids = slots * n_dev + shard_id       # global insertion index
+            valid = gids < nglob
+            kp = min(K_pre, cap)
+            ko = min(K_out, kp)
+            L = min(8192, cap)
+            capL = ((cap + L - 1) // L) * L
+
+            def one_chunk(Xc):                    # [QCH, Dr]
+                S = jax.lax.dot_general(
+                    Xc.astype(f.dtype), f,
+                    (((1,), (1,)), ((), ()))).astype(jnp.float32)
+                pre = jnp.where(valid[None, :], fsq[None, :] - 2.0 * S,
+                                jnp.inf)
+                if capL != cap:
+                    pre = jnp.pad(pre, ((0, 0), (0, capL - cap)),
+                                  constant_values=jnp.inf)
+                pre = pre.reshape(Xc.shape[0], capL // L, L)
+                negv, idx = jax.lax.top_k(-pre, min(kp, L))
+                gidx = idx + (jnp.arange(capL // L, dtype=jnp.int32)
+                              * L)[None, :, None]
+                negf, sel = jax.lax.top_k(
+                    negv.reshape(Xc.shape[0], -1), kp)
+                rows_pre = jnp.take_along_axis(
+                    gidx.reshape(Xc.shape[0], -1), sel, axis=1)
+                rows_pre = jnp.where(jnp.isfinite(negf), rows_pre, 0)
+                cand = f[rows_pre].astype(jnp.float32)
+                diff = cand - Xc[:, None, :]
+                exact = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
+                exact = jnp.where(jnp.isfinite(negf), exact, jnp.inf)
+                top_neg, ti = jax.lax.top_k(-exact, ko)
+                local_rows = jnp.take_along_axis(rows_pre, ti, axis=1)
+                local_rows = jnp.where(jnp.isfinite(top_neg),
+                                       gids[local_rows], -1)
+                return local_rows, -top_neg       # [QCH, ko] x2
+
+            QCH = 16
+            pad_q = (-X.shape[0]) % QCH
+            Xp = jnp.pad(X.astype(jnp.float32), ((0, pad_q), (0, 0)))
+            rows_l, dists_l = jax.lax.map(
+                one_chunk, Xp.reshape(-1, QCH, Dr))
+            rows_l = rows_l.reshape(-1, ko)[:X.shape[0]]
+            dists_l = dists_l.reshape(-1, ko)[:X.shape[0]]
+
+            def gather_q(a):                      # [nq, ko] -> [nq, nd*ko]
+                return jnp.moveaxis(
+                    jax.lax.all_gather(a, SHARD_AXIS), 0, 1
+                ).reshape(rows_l.shape[0], -1)
+
+            all_rows = gather_q(rows_l)
+            all_dists = gather_q(jnp.where(rows_l >= 0, dists_l, jnp.inf))
+            top_neg, top_i = jax.lax.top_k(-all_dists, K_out)
+            m_rows = jnp.take_along_axis(all_rows, top_i, axis=1)
+            m_rows = jnp.where(jnp.isfinite(top_neg), m_rows, -1)
+            packed = jax.vmap(pack_query_out)(
+                m_rows, -top_neg,
+                jnp.broadcast_to(nglob.astype(jnp.int32),
+                                 (rows_l.shape[0],)),
+                jnp.broadcast_to(n_occ.astype(jnp.int32),
+                                 (rows_l.shape[0],)),
+                jnp.ones((rows_l.shape[0],), jnp.int32))
+            return packed[None]
+
+        fn = jax.jit(jax.shard_map(
+            shard_brute, mesh=mesh,
+            in_specs=(P(), P(SHARD_AXIS), P(SHARD_AXIS), P(), P()),
+            out_specs=P(SHARD_AXIS)))
+        self._qfns[key] = fn
+        return fn
+
+    def _use_brute(self, d, nq, quota, nb, R):
+        """Plan choice for a rerank wave — same policy as
+        LOPQSearcherTPU._use_brute, with the brute side costed per SHARD
+        (each shard streams only its cap_per slice; the grid ladder's
+        rung cost is per-shard too, since every shard walks its own
+        CSR)."""
+        if not R or d.get("feats") is None or self.probe_width:
+            return False
+        from columbiaimagesearch_tpu.index.tpu_query import (prefer_brute,
+                                                             rung_floor)
+
+        ladder = probe_ladder(self.model.V, self.probe_width)
+        with self._stats_lock:
+            floor = rung_floor(ladder, quota, nb, self.model.V,
+                               self._yield_ema)
+        feats = d["feats"]
+        fb = 2 if feats.dtype == jnp.bfloat16 else 4
+        n_dev = self.mesh.devices.size
+        nb_shard = (nb + n_dev - 1) // n_dev
+        return prefer_brute(ladder[floor:], nq, nb_shard, self.model.V,
+                            feats.shape[-1], fb)
+
+    def _feats_sq_dev(self, d):
+        """Per-shard row norms^2 of the resident feature store, computed
+        once per refresh snapshot (one pass over the store) and cached on
+        the snapshot dict."""
+        fsq = d.get("feats_sq")
+        if fsq is None:
+            key = ("fsq",)
+            fn = self._qfns.get(key)
+            if fn is None:
+                def shard_sq(f):
+                    ff = f[0].astype(jnp.float32)
+                    return jnp.sum(ff * ff, axis=-1)[None]
+
+                fn = jax.jit(jax.shard_map(
+                    shard_sq, mesh=self.mesh,
+                    in_specs=(P(SHARD_AXIS),),
+                    out_specs=P(SHARD_AXIS)))
+                self._qfns[key] = fn
+            fsq = fn(d["feats"])
+            d["feats_sq"] = fsq
+        return fsq
+
     def search_batch(self, X, quota=10, limit=None, rerank_nb=None):
         """Fan a wave of queries out to all shards in one launch per probe
         tier; returns a list of ([(id, dist)], cells_visited) per query.
@@ -477,6 +613,34 @@ class ShardedLOPQIndex:
 
         d = self._dev          # snapshot (swapped atomically on refresh)
         ids_snap = self._ids
+
+        if self._use_brute(d, nq, quota, nb, R):
+            from columbiaimagesearch_tpu.utils.chunking import pad_rows
+
+            n_dev = self.mesh.devices.size
+            Dr = d["feats"].shape[-1]
+            fsq = self._feats_sq_dev(d)
+            fn = self._brute_query_fn(Dr, R, K_emit)
+            Xw, k = pad_rows(X, wave_bucket(nq))
+            packed = fn(jnp.asarray(Xw), d["feats"], fsq,
+                        jnp.int32(nb), jnp.int32(min(nb, V * V)))
+            packed = np.asarray(packed)[0]
+            rows_b, dists_b, _total, ncells_b, _ok = unpack_query_out(
+                packed[:k], K_emit)
+            with self._stats_lock:
+                self.probe_stats["waves"] += 1
+                self.probe_stats["brute_waves"] = (
+                    self.probe_stats.get("brute_waves", 0) + 1)
+            out = []
+            for i in range(nq):
+                pairs = []
+                for r, dist in zip(rows_b[i][:min(K, K_emit)],
+                                   dists_b[i][:min(K, K_emit)]):
+                    if r < 0 or not np.isfinite(dist):
+                        continue
+                    pairs.append((ids_snap[int(r)], float(dist)))
+                out.append((pairs, int(ncells_b[i])))
+            return out
 
         def run_tier(idx, rung):
             from columbiaimagesearch_tpu.utils.chunking import pad_rows

@@ -87,3 +87,83 @@ def test_sharded_incremental_append_matches_host():
             assert [r.id for r in res_s] == [r.id for r in res_h], (a, b, q)
             np.testing.assert_allclose([r.dist for r in res_s],
                                        [r.dist for r in res_h], rtol=1e-4)
+
+
+def test_sharded_brute_plan_exact(monkeypatch):
+    """Mesh-wide brute plan: exact true-L2 top-k over the sharded feature
+    store, matching a numpy oracle and the grid+rerank plan."""
+    from tests.oracle_lopq import random_params
+
+    from columbiaimagesearch_tpu.index import tpu_query
+    from columbiaimagesearch_tpu.index.model import LOPQModel
+    from columbiaimagesearch_tpu.parallel.sharded import ShardedLOPQIndex
+
+    rs = np.random.RandomState(13)
+    model = LOPQModel(parameters=random_params(rs, V=8, M=4, S=16, D=32))
+    X = rs.randn(500, 32).astype(np.float32)
+    coarse, fine = model.predict_batch(X)
+    ids = np.asarray([f"s{i}" for i in range(500)], dtype=object)
+
+    idx = ShardedLOPQIndex(model)
+    idx.build(np.asarray(coarse, np.int32).reshape(500, 2),
+              np.asarray(fine, np.int32), ids=ids, feats=X)
+
+    Q = X[[3, 77, 411]] + 0.05 * rs.randn(3, 32).astype(np.float32)
+
+    monkeypatch.setattr(tpu_query, "prefer_brute",
+                        lambda *a, **k: True)
+    out_brute = idx.search_batch(Q, quota=500, limit=5, rerank_nb=64)
+    assert idx.probe_stats.get("brute_waves", 0) == 1
+
+    # Numpy oracle: exact L2 over all rows.
+    for qi, (pairs, _cells) in enumerate(out_brute):
+        d = np.linalg.norm(X - Q[qi][None, :], axis=1)
+        want = np.argsort(d, kind="stable")[:5]
+        got_ids = [p[0] for p in pairs]
+        assert got_ids == [f"s{i}" for i in want], (qi, got_ids, want)
+        np.testing.assert_allclose([p[1] for p in pairs], d[want],
+                                   rtol=1e-5)
+
+    # Grid + mesh rerank plan still runs (plan forced off brute) and
+    # honors ITS contract: true-L2 distances for whatever ids it ranks
+    # (the id SETS may differ — grid rerank is exact over its top-R-by-
+    # ADC candidates only, and with random codebooks ADC ordering is
+    # uninformative; brute is exact over all rows).
+    monkeypatch.setattr(tpu_query, "prefer_brute",
+                        lambda *a, **k: False)
+    out_grid = idx.search_batch(Q, quota=500, limit=5, rerank_nb=64)
+    assert idx.probe_stats.get("brute_waves", 0) == 1  # unchanged
+    for qi, (pg, _cells) in enumerate(out_grid):
+        rows = [int(p[0][1:]) for p in pg]
+        want = np.linalg.norm(X[rows] - Q[qi][None, :], axis=1)
+        np.testing.assert_allclose([p[1] for p in pg], want, rtol=1e-4)
+
+
+def test_sharded_brute_after_append(monkeypatch):
+    """feats_sq snapshot cache refreshes after an incremental append."""
+    from tests.oracle_lopq import random_params
+
+    from columbiaimagesearch_tpu.index import tpu_query
+    from columbiaimagesearch_tpu.index.model import LOPQModel
+    from columbiaimagesearch_tpu.parallel.sharded import ShardedLOPQIndex
+
+    rs = np.random.RandomState(14)
+    model = LOPQModel(parameters=random_params(rs, V=8, M=4, S=16, D=32))
+    X = rs.randn(300, 32).astype(np.float32)
+    coarse, fine = model.predict_batch(X)
+
+    idx = ShardedLOPQIndex(model)
+    monkeypatch.setattr(tpu_query, "prefer_brute", lambda *a, **k: True)
+    idx.build(np.asarray(coarse, np.int32).reshape(-1, 2)[:200],
+              np.asarray(fine, np.int32)[:200],
+              ids=np.asarray([f"a{i}" for i in range(200)], dtype=object),
+              feats=X[:200])
+    idx.search_batch(X[[5]], quota=300, limit=3, rerank_nb=32)
+
+    co2 = np.asarray(coarse, np.int32).reshape(-1, 2)[200:]
+    idx.append(co2, np.asarray(fine, np.int32)[200:],
+               ids=np.asarray([f"a{i}" for i in range(200, 300)],
+                              dtype=object), feats=X[200:])
+    out = idx.search_batch(X[[250]], quota=300, limit=3, rerank_nb=32)
+    pairs, _ = out[0]
+    assert pairs[0][0] == "a250" and pairs[0][1] < 1e-3
