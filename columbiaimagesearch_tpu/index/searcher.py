@@ -87,6 +87,28 @@ def _query_geometry(quota, limit, nb, rerank_nb, Q=None):
     return K, Q, K_stage, R, K_emit
 
 
+_ROW_NORMS_SQ = None
+
+
+def _row_norms_sq(f):
+    """Fused per-row ||f||^2 over the rerank store, as ONE jitted
+    program: XLA folds the dtype convert + square into the row
+    reduction, so peak HBM is input + [n] output. (Evaluated eagerly,
+    ``f * f`` materializes a store-sized intermediate — 11.8 GB at
+    10.5M x 256 f32, an OOM on a 16 GB chip.)"""
+    global _ROW_NORMS_SQ
+    if _ROW_NORMS_SQ is None:
+        import jax
+        import jax.numpy as jnp
+
+        @jax.jit
+        def fn(x):
+            return jnp.sum(jnp.square(x.astype(jnp.float32)), axis=1)
+
+        _ROW_NORMS_SQ = fn
+    return _ROW_NORMS_SQ(f)
+
+
 class LOPQSearcherBase(object):
     def __init__(self):
         self.nb_indexed = 0
@@ -499,9 +521,11 @@ class LOPQSearcherTPU(LOPQSearcherBase):
             # Brute exact-path metadata (tpu_query.brute_query_batch):
             # per-row ||f||^2 (pad rows are zeros -> masked by nb at query
             # time) and the occupied-cell count reported as ``visited``.
-            f = dev["feats"]
-            dev["feats_sq"] = jnp.sum(
-                f.astype(jnp.float32) * f.astype(jnp.float32), axis=1)
+            # MUST be one jitted program: eagerly, f * f materializes a
+            # store-sized square matrix (11.8 GB at 10.5M x 256 f32 — the
+            # r04 searcher-rerank OOM, 22 GB of arguments); fused, XLA
+            # folds convert+square into the row reduction.
+            dev["feats_sq"] = _row_norms_sq(dev["feats"])
             if cell_start is not None:
                 dev["n_occ"] = jnp.sum(
                     (cell_start[1:] > cell_start[:-1]).astype(jnp.int32))
