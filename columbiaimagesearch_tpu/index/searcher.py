@@ -672,13 +672,21 @@ class LOPQSearcherTPU(LOPQSearcherBase):
             self._wave_i += 1
             if start > floor and self._wave_i % self.REPROBE_EVERY == 0:
                 start = floor
-        rows, dists, ncells, frac_short, yield_obs = escalate_probe(
+        rows, dists, ncells, frac_short, settle, yield_obs = escalate_probe(
             run_tier, ladder[start:], n, quota, nb, K_pad)
         with self._mutlock:
-            if frac_short > 0.9 and start + 1 < len(ladder):
-                self._tier_hint = max(self._tier_hint, start + 1)
-            elif frac_short < 0.1:
-                self._tier_hint = start
+            # The hint jumps straight to the rung where >= 90% of this
+            # wave's queries were satisfied (settle is relative to the
+            # rung the wave started at). The old +-1-rung nudge had a
+            # dead band (0.1 < frac_short < 0.9 never moved it), so a
+            # workload that always escalated 64 -> 128+8 -> 256+16 re-paid
+            # the narrow rungs every wave (12.8 ms/query measured vs
+            # 8.5 ms for the settle rung alone, r04 searcher artifact).
+            new_hint = min(start + settle, len(ladder) - 1)
+            if start == floor:
+                self._tier_hint = new_hint   # full ladder view: may decay
+            else:
+                self._tier_hint = max(self._tier_hint, new_hint)
             if yield_obs is not None:
                 self._yield_ema = (yield_obs if self._yield_ema is None
                                    else 0.7 * self._yield_ema
@@ -686,12 +694,13 @@ class LOPQSearcherTPU(LOPQSearcherBase):
             self.probe_stats["waves"] += 1
             self.probe_stats["escalated_queries"] += int(
                 round(frac_short * n))
-            # Rolling per-wave trace (start rung, frac escalated, floor,
-            # yield EMA) — the ladder's economics are only diagnosable
-            # with this (e.g. a hint stuck one rung low re-pays an
-            # escalation every wave); surfaces in /status and bench extra.
+            # Rolling per-wave trace (start rung, frac escalated, settle
+            # rung, floor, yield EMA) — the ladder's economics are only
+            # diagnosable with this (e.g. a hint stuck one rung low
+            # re-pays an escalation every wave); surfaces in /status and
+            # the searcher bench artifact.
             self.probe_stats.setdefault("wave_log", []).append(
-                [start, round(float(frac_short), 3), floor,
+                [start, round(float(frac_short), 3), start + settle, floor,
                  None if self._yield_ema is None
                  else round(float(self._yield_ema), 2)])
             del self.probe_stats["wave_log"][:-64]

@@ -894,8 +894,11 @@ def escalate_probe(run_tier, ladder, n, quota, nb, K_pad):
         dists [k, K_pad], total [k], ncells [k], grid_ok [k]) numpy arrays
     :returns: (rows [n, K_pad] int32, dists [n, K_pad] f32, ncells [n],
         frac_short_first — fraction of queries the FIRST ladder rung
-        could not satisfy; feeds the searchers' tier-hint hysteresis —
-        and yield_obs: mean candidates-per-visited-cell over satisfied
+        could not satisfy (escalation-count stats) — settle_tier: the
+        smallest index into ``ladder`` at which >= 90% of the wave's
+        queries were cumulatively satisfied (the rung the tier hint
+        should start the next wave at; capped at the last rung) — and
+        yield_obs: mean candidates-per-visited-cell over satisfied
         queries (None if none were satisfied), feeding the searchers'
         quota-aware rung floor)
     """
@@ -907,6 +910,7 @@ def escalate_probe(run_tier, ladder, n, quota, nb, K_pad):
     ncells_b = np.zeros(n, np.int64)
     pend = np.arange(n)
     frac_short_first = 0.0
+    settle_tier = max(len(ladder) - 1, 0)
     yield_sum, yield_n = 0.0, 0
     for ti, B in enumerate(ladder):
         r, dd, tot, nc, ok = run_tier(pend, B)
@@ -924,13 +928,17 @@ def escalate_probe(run_tier, ladder, n, quota, nb, K_pad):
             yield_n += int(sat.sum())
         if ti == 0:
             frac_short_first = float(short.mean()) if n else 0.0
+        if n and (n - int(short.sum())) >= 0.9 * n \
+                and settle_tier == len(ladder) - 1 and ti < settle_tier:
+            settle_tier = ti
         if ti + 1 == len(ladder):
             break
         pend = pend[short]
         if len(pend) == 0:
             break
     yield_obs = (yield_sum / yield_n) if yield_n else None
-    return rows_b, dists_b, ncells_b, frac_short_first, yield_obs
+    return (rows_b, dists_b, ncells_b, frac_short_first, settle_tier,
+            yield_obs)
 
 
 @jax.jit

@@ -667,14 +667,17 @@ class ShardedLOPQIndex:
             self._wave_i += 1
             if start > floor and self._wave_i % self.REPROBE_EVERY == 0:
                 start = floor  # periodic re-probe: hint can shift back down
-        rows_b, dists_b, ncells_b, frac_short, yield_obs = escalate_probe(
+        (rows_b, dists_b, ncells_b, frac_short, settle,
+         yield_obs) = escalate_probe(
             run_tier, full_ladder[start:], nq, quota, nb,
             K_emit if R else K_stage)
         with self._stats_lock:
-            if frac_short > 0.9 and start + 1 < len(full_ladder):
-                self._tier_hint = max(self._tier_hint, start + 1)
-            elif frac_short < 0.1:
-                self._tier_hint = start
+            # Settle-rung hint policy — same as LOPQSearcherTPU._escalate.
+            new_hint = min(start + settle, len(full_ladder) - 1)
+            if start == floor:
+                self._tier_hint = new_hint
+            else:
+                self._tier_hint = max(self._tier_hint, new_hint)
             if yield_obs is not None:
                 self._yield_ema = (yield_obs if self._yield_ema is None
                                    else 0.7 * self._yield_ema
@@ -684,7 +687,7 @@ class ShardedLOPQIndex:
                 round(frac_short * nq))
             # Same rolling per-wave trace as LOPQSearcherTPU._escalate.
             self.probe_stats.setdefault("wave_log", []).append(
-                [start, round(float(frac_short), 3), floor,
+                [start, round(float(frac_short), 3), start + settle, floor,
                  None if self._yield_ema is None
                  else round(float(self._yield_ema), 2)])
             del self.probe_stats["wave_log"][:-64]
