@@ -290,14 +290,22 @@ def bench_searcher(args):
             xp /= np.maximum(
                 np.linalg.norm(xp, axis=1, keepdims=True), 1e-30)
             m = searcher.model
+            # lopq_encode maps fixed [chunk, D] blocks; pad to a multiple
+            # (8000 appended rows are not divisible by 4096 — r04
+            # searcher-rerank attempt-2 crash) and slice back.
+            n_extra = len(xp)
+            chunk = 4000
+            pad = (-n_extra) % chunk
+            xp_pad = np.pad(xp, [(0, pad), (0, 0)])
             co2, fi2 = lopq_encode(
                 jnp.stack([jnp.asarray(C) for C in m.Cs]),
                 jnp.stack([jnp.asarray(R) for R in m.Rs]),
                 jnp.stack([jnp.asarray(mm) for mm in m.mus]),
                 jnp.stack([jnp.stack([jnp.asarray(ss) for ss in h])
                            for h in m.subquantizers]),
-                jnp.asarray(xp), chunk=4096)
-            co2, fi2 = np.asarray(co2), np.asarray(fi2)
+                jnp.asarray(xp_pad), chunk=chunk)
+            co2 = np.asarray(co2)[:n_extra]
+            fi2 = np.asarray(fi2)[:n_extra]
             feats2 = xp
         else:
             co2, fi2 = searcher.model.predict_batch(extra)
