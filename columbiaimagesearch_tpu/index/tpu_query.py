@@ -776,12 +776,16 @@ def fused_feat_brute(X, pca_P, pca_mu, feats, feats_sq, nb, n_occ, *,
 #: Cost model for the plan choice (brute vs probe ladder), measured on
 #: v5e at the 10M/V=4096 config (benchmarks/r04_probe_rung_10Mi.json:
 #: rung latency ~= GRID_NS_FIXED + GRID_NS_PER_CELL * G). The brute pass
-#: streams feats once per WAVE (cost shared by nq queries) plus a small
-#: per-query MXU term. Conservative until re-measured after each kernel
-#: change — the plan only switches when brute wins by a clear margin.
+#: is PER-QUERY-LINEAR in index rows: the [N]-wide top_k selection
+#: dominates, not the shared feature stream, so waves do NOT amortize it
+#: (measured 14.3 ms/query at 10.5M x 256 in 100-query waves and
+#: 1.33 ms/query at 1M — ~1.4 ns/row/query across a 10x size range).
+#: Brute therefore wins only where the ladder is forced onto its widest
+#: rungs (huge quotas) or the index is small; that is exactly the
+#: quota=100k adversarial regime.
 GRID_NS_PER_CELL = 70.0
 GRID_NS_FIXED = 550e3
-BRUTE_HBM_GBPS = 600.0      # effective stream bandwidth (of 819 peak)
+BRUTE_NS_PER_ROW = 1.4      # per query per indexed row (selection-bound)
 BRUTE_NS_FIXED = 300e3
 
 
@@ -799,12 +803,12 @@ def prefer_brute(ladder_tail, nq, nb, V, Dr, feat_bytes=4):
     """True when one exact brute wave over the feature store is cheaper
     than the grid ladder's starting rung for this wave. ``ladder_tail``
     is the ladder from its floor rung on (empty -> brute wins by
-    default)."""
+    default). Both sides are per-query costs: the brute top_k is
+    per-query-linear in rows (see BRUTE_NS_PER_ROW — waves do not
+    amortize it), the grid rung is linear in its region cells."""
     if not ladder_tail:
         return True
-    brute_ns = (BRUTE_NS_FIXED
-                + nb * Dr * feat_bytes / BRUTE_HBM_GBPS / max(nq, 1)
-                + nb * Dr * 2 / 394e3)   # per-query MXU term (ns)
+    brute_ns = BRUTE_NS_FIXED / max(nq, 1) + nb * BRUTE_NS_PER_ROW
     g = rung_cells(ladder_tail[0], V)
     grid_ns = GRID_NS_FIXED + GRID_NS_PER_CELL * g
     return brute_ns < grid_ns
