@@ -634,6 +634,23 @@ class LOPQSearcherTPU(LOPQSearcherBase):
         return unpack_query_out(packed[:k], K_emit)
 
     @staticmethod
+    def _wave_cap(d, Q):
+        """Per-launch query cap: the rung kernels' dominant transient is
+        ~4 KB per candidate slot (the one-hot ADC's [Q, F*S] bf16
+        contraction operand plus slot metadata), and a resident rerank
+        feature store claims its HBM FIRST — at 10.5M x 256 f32 the
+        store is 11.8 GB of the 15.75 GB chip, and the previous fixed
+        2M-slot budget OOMed the first rerank wave (r04 searcher-rerank
+        artifact, attempt 4). Budget half of what remains."""
+        resident = 0
+        for key in ("feats", "feats_sq"):
+            a = d.get(key)
+            if a is not None:
+                resident += int(np.prod(a.shape)) * a.dtype.itemsize
+        free = max(14.0e9 - resident, 1.2e9)
+        return max(8, int(free / 2 / (max(Q, 1) * 4096)))
+
+    @staticmethod
     def _chunk_waves(run_tier, nq_cap):
         """Wrap ``run_tier`` so big-quota waves split into <= nq_cap
         query chunks: per-query device transients scale with the
@@ -798,7 +815,7 @@ class LOPQSearcherTPU(LOPQSearcherBase):
             return unpack_query_out(packed[:k], K_emit)
 
         rows_b, dists_b, ncells_b = self._escalate(
-            self._chunk_waves(run_tier, max(8, (2 << 20) // max(Q, 1))),
+            self._chunk_waves(run_tier, self._wave_cap(d, Q)),
             len(X), quota, nb, K_emit)
         K_out = min(K, K_emit)
         return [
@@ -920,7 +937,7 @@ class LOPQSearcherTPU(LOPQSearcherBase):
             return unpack_query_out(packed[:k], K_emit)
 
         rows_b, dists_b, ncells_b = self._escalate(
-            self._chunk_waves(run_tier, max(8, (2 << 20) // max(Q, 1))),
+            self._chunk_waves(run_tier, self._wave_cap(d, Q)),
             nq, quota, nb, K_emit)
         K_out = min(K, K_emit)
         return [
