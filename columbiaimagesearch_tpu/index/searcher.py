@@ -647,7 +647,11 @@ class LOPQSearcherTPU(LOPQSearcherBase):
             a = d.get(key)
             if a is not None:
                 resident += int(np.prod(a.shape)) * a.dtype.itemsize
-        free = max(14.0e9 - resident, 1.2e9)
+        return LOPQSearcherTPU._wave_cap_bytes(resident, Q)
+
+    @staticmethod
+    def _wave_cap_bytes(resident_bytes, Q):
+        free = max(14.0e9 - resident_bytes, 1.2e9)
         return max(8, int(free / 2 / (max(Q, 1) * 4096)))
 
     @staticmethod

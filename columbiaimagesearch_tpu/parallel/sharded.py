@@ -667,9 +667,26 @@ class ShardedLOPQIndex:
             self._wave_i += 1
             if start > floor and self._wave_i % self.REPROBE_EVERY == 0:
                 start = floor  # periodic re-probe: hint can shift back down
+        # Resident-store-aware per-launch cap (same transient math as
+        # LOPQSearcherTPU._wave_cap, per shard: each shard holds its own
+        # feats slice and runs its own [nq, Q_shard] rung transients).
+        from columbiaimagesearch_tpu.index.searcher import LOPQSearcherTPU
+
+        f = d.get("feats")
+        per_shard_bytes = 0
+        if f is not None:
+            # Leading mesh axis = shard axis: one shard holds the
+            # [cap_per, D] extent (shape math only — never slice the
+            # sharded array, that would launch a device gather).
+            per_shard_bytes = (int(np.prod(f.shape[1:])) * f.dtype.itemsize
+                               if f.ndim == 3
+                               else int(np.prod(f.shape)) * f.dtype.itemsize)
         (rows_b, dists_b, ncells_b, frac_short, settle,
          yield_obs) = escalate_probe(
-            run_tier, full_ladder[start:], nq, quota, nb,
+            LOPQSearcherTPU._chunk_waves(
+                run_tier,
+                LOPQSearcherTPU._wave_cap_bytes(per_shard_bytes, Q)),
+            full_ladder[start:], nq, quota, nb,
             K_emit if R else K_stage)
         with self._stats_lock:
             # Settle-rung hint policy — same as LOPQSearcherTPU._escalate.
