@@ -734,7 +734,10 @@ def bench_serving(args, n_threads=4, reqs_per_thread=10):
         "vs_baseline": round(baseline_s / p50, 2),
         "extra": {"p99_ms": round(p99 * 1e3, 1), "qps": round(qps, 1),
                   "clients": n_threads, "nb_indexed": n_index,
-                  "coalesce_ms": args.coalesce},
+                  "coalesce_ms": args.coalesce,
+                  "probe": {k: searcher.searcher.probe_stats.get(k)
+                            for k in ("waves", "escalated_queries",
+                                      "brute_waves", "wave_log")}},
     }))
 
 

@@ -855,11 +855,21 @@ def rung_floor(ladder, quota, nb, V, yield_est=None):
     quota_eff = min(int(quota), int(nb))
     if quota_eff <= 0:
         return 0
-    y = yield_est if (yield_est is not None and yield_est > 0) else max(
-        nb / float(V) ** 2, 1e-9)
+    if yield_est is None or yield_est <= 0:
+        # Cold start: begin NARROW. The tempting uniform-occupancy prior
+        # (nb / V^2) underestimates probed-region yield ~80x on any
+        # clustered corpus (probing visits the cells nearest the query,
+        # which are the dense ones: observed ~5 cand/cell vs 0.06
+        # uniform at 1M/V=4096) — it sent cold serving waves straight to
+        # the widest rung, and the settle hint then IMPRINTED that rung
+        # because the wave never saw a narrower one (r04 serving p50
+        # 461 ms vs 124 in round 2). Escalation guarantees correctness;
+        # the cost of starting narrow is one escalated first wave, after
+        # which the yield EMA makes this floor real.
+        return 0
     import math
 
-    required_b = math.sqrt(2.0 * quota_eff / y)
+    required_b = math.sqrt(2.0 * quota_eff / float(yield_est))
     for i, spec in enumerate(ladder):
         if rung_parts(spec)[0] >= required_b:
             return i
