@@ -709,6 +709,11 @@ def brute_query_batch(X, feats, feats_sq, nb, n_occ, *,
     cap = feats.shape[0]
     K_pre = min(K_pre, cap)
     K_out = min(K_out, K_pre)
+    # The per-row top_k work exists for PAD rows too: a 1-query serving
+    # wave padded to a 16-row chunk pays 16x the per-query selection
+    # (~235 ms device at 10.5M — the r04 serving-10M p50). Chunk no
+    # wider than the wave.
+    QCH = min(QCH, max(NQ, 1))
     L = min(8192, cap)                      # top-k tile
     capL = ((cap + L - 1) // L) * L
     kt = min(K_pre, L)

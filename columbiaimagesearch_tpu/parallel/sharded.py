@@ -496,7 +496,7 @@ class ShardedLOPQIndex:
                                        gids[local_rows], -1)
                 return local_rows, -top_neg       # [QCH, ko] x2
 
-            QCH = 16
+            QCH = min(16, max(X.shape[0], 1))  # pad rows pay full top_k
             pad_q = (-X.shape[0]) % QCH
             Xp = jnp.pad(X.astype(jnp.float32), ((0, pad_q), (0, 0)))
             rows_l, dists_l = jax.lax.map(

@@ -279,13 +279,20 @@ class GenericSearcher:
         # small pad/slice programs keyed on (bucket, n) — each is tiny
         # but still a fresh relay compile the first time it is seen.
         sizes = list(range(1, max_wave + 1))
-        for n in sizes:
-            reqs = [{"dets": [(sha1, None)], "bufs": [raw],
-                     "options": opts} for _ in range(n)]
-            outs = self._serve_batch(reqs)
-            for out in outs:
-                if isinstance(out, Exception):
-                    raise out
+        # TWO passes: pass 1 compiles the cold-path programs AND warms
+        # the searcher's yield EMA / tier hint; the plan chosen for live
+        # traffic (e.g. brute once the EMA reveals the settle rung's
+        # cost) can differ from the cold plan, and its program must be
+        # compiled too — an unwarmed brute program cost a 40 s
+        # mid-measurement relay compile (r04 serving-10M p99).
+        for _ in range(2):
+            for n in sizes:
+                reqs = [{"dets": [(sha1, None)], "bufs": [raw],
+                         "options": opts} for _ in range(n)]
+                outs = self._serve_batch(reqs)
+                for out in outs:
+                    if isinstance(out, Exception):
+                        raise out
         return sorted({wave_bucket(n) for n in sizes})
 
     def _serve_batch(self, requests):
