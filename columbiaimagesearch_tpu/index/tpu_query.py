@@ -343,16 +343,18 @@ def lopq_query(
             # adversarial sweep). Same fix as the wide square path below.
             startsf = cell_start[cidf]
             cntf = cell_start[cidf + 1] - startsf
-        # Sort ONLY (key, index): the rung's cost is sort-data-movement-
-        # bound (~75 ns per region cell measured across all strip rungs,
-        # benchmarks/r04_probe_rung_10Mi.json), so carrying 5 operands
-        # through every sorting-network pass doubles the rung cost vs
-        # permuting the one [G] payload the selection scan needs (counts)
-        # and resolving the rest (starts/rg/cg) with [Q]-sized gathers at
-        # slot-resolution time. lax.sort is stable, so tie order — the
-        # reference heap's arbitrary tie order — is unchanged.
-        gr_s, perm = jax.lax.sort((gridf, g), num_keys=1)
-        cnt_s = cntf[perm]
+        # One sort carries every payload the slot machinery needs. A
+        # (key, index)-only sort with post-sort gathers was tried and
+        # REVERTED: rung latency is comparison-bound, not
+        # operand-movement-bound — the 2-operand variant measured ~9%
+        # SLOWER (41.7 vs 38.1 ms/query at rung (512,32), 10.5M) because
+        # the [G] permutation gather it needs costs more than the three
+        # payloads it saves. ~75 ns per region cell stands as the rung
+        # cost (benchmarks/r04_probe_rung_10Mi.json); wide rungs are
+        # escaped via the brute plan at huge quotas, not by shaving the
+        # sort.
+        gr_s, cnt_s, starts_s, rg_s, cg_s = jax.lax.sort(
+            (gridf, cntf, startsf, rg, cg), num_keys=1)
         csum = jnp.cumsum(cnt_s)
         selected = (csum - cnt_s) < quota
         sel_counts = jnp.where(selected, cnt_s, 0)
@@ -364,10 +366,9 @@ def lopq_query(
         b_for_j = jnp.cumsum(markers)[:Q]
         b_for_j = jnp.minimum(b_for_j, G - 1)
         bucket_begin = scs[b_for_j] - sel_counts[b_for_j]
-        orig_j = perm[b_for_j]                        # [Q] region index
-        rows = startsf[orig_j] + (j - bucket_begin)
-        slot0 = rg[orig_j]                            # ranks into i0f/i1f
-        slot1 = cg[orig_j]
+        rows = starts_s[b_for_j] + (j - bucket_begin)
+        slot0 = rg_s[b_for_j]                         # ranks into i0f/i1f
+        slot1 = cg_s[b_for_j]
     else:
         # Sort-free quota prefix: theta = the smallest grid distance whose
         # <=-cumulative candidate count reaches the quota — exactly the

@@ -228,18 +228,21 @@ def test_searcher_ladder_includes_strip_rungs():
 
 def test_rung_floor_policy():
     ladder = probe_ladder(4096)
-    # 10M rows at V=4096, quota 10k, uniform prior: needs ~sqrt(2*10k/.625)
-    # ~ 179 -> first rung with B >= 179 is (256, 16)
-    f = rung_floor(ladder, 10_000, 10_485_760, 4096)
-    assert rung_parts(ladder[f])[0] == 256
-    # 1M rows (occupancy .06): required ~577 -> (1024, 64)
-    f = rung_floor(ladder, 10_000, 1 << 20, 4096)
-    assert rung_parts(ladder[f])[0] == 1024
+    # Cold start (no yield observation): ALWAYS rung 0 — the uniform-
+    # occupancy prior underestimates probed-region yield ~80x on
+    # clustered corpora and imprinted the widest rung via the settle
+    # hint (r04 serving regression); escalation guards correctness.
+    assert rung_floor(ladder, 10_000, 10_485_760, 4096) == 0
+    assert rung_floor(ladder, 10_000, 1 << 20, 4096) == 0
     # tiny quota: stay on the narrow rung
     assert rung_floor(ladder, 10, 10_485_760, 4096) == 0
-    # observed yield overrides the prior: denser walks -> narrower floor
+    # observed dense yield keeps the floor narrow
     f = rung_floor(ladder, 10_000, 1 << 20, 4096, yield_est=5.0)
     assert rung_parts(ladder[f])[0] == 64
+    # observed SPARSE yield raises the floor (the OOD serving case:
+    # 0.03 cand/cell -> the walk needs ~300k+ cells -> widest rung)
+    f = rung_floor(ladder, 10_000, 1 << 20, 4096, yield_est=0.03)
+    assert rung_parts(ladder[f])[0] == 1024
     # empty index: floor 0
     assert rung_floor(ladder, 10_000, 0, 4096) == 0
 
