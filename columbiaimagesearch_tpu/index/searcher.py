@@ -241,14 +241,26 @@ class LOPQSearcherTPU(LOPQSearcherBase):
     # (csr.merge_append_csr) instead of re-sorting the whole buffer.
     MERGE_REFRESH_MIN_CAP = 32 << 20
 
+    #: HBM budget (bytes) the f32 rerank store AND its incremental-append
+    #: copy must fit under before "auto" switches to bfloat16: the append
+    #: path (csr.append_rows dynamic_update_slice, NOT donated — the
+    #: snapshot contract lets in-flight queries keep reading the previous
+    #: buffer) transiently holds two store-sized buffers, which OOMed at
+    #: 10.5M x 256 f32 (2 x 11.8 GB on a 15.75 GB chip).
+    RERANK_F32_BUDGET = 13.5e9
+
     def __init__(self, model, probe_width=None, codestore_path=None,
-                 rerank_dtype="float32"):
+                 rerank_dtype="auto"):
         super().__init__()
         self.model = model
         self.probe_width = probe_width
-        #: device dtype for the resident rerank feature matrix. float32 is
-        #: exact; "bfloat16" halves HBM (the 10M x 256-d store drops from
-        #: ~10 GB to ~5 GB) at ~1e-3 relative distance error.
+        #: device dtype for the resident rerank feature matrix. "float32"
+        #: is exact; "bfloat16" halves HBM (the 10M x 256-d store drops
+        #: from ~11.8 GB to ~5.9 GB) at ~1e-3 relative distance error
+        #: (the brute/rerank preselect is bf16 regardless; the f32
+        #: re-score then reads bf16-rounded stored values). "auto"
+        #: (default) picks float32 while the store and its append copy
+        #: fit in RERANK_F32_BUDGET, bfloat16 beyond.
         self.rerank_dtype = rerank_dtype
         self._pending = []  # list of (cells int64 [n], fine uint8 [n, M],
         #                     ids, feats float32 [n, D] or None)
@@ -493,9 +505,17 @@ class LOPQSearcherTPU(LOPQSearcherBase):
         if self._feats is not None:
             from columbiaimagesearch_tpu.index.csr import append_rows
 
-            fdt = (jnp.bfloat16 if self.rerank_dtype == "bfloat16"
-                   else jnp.float32)
             Dr = self._feats.shape[1]
+            if self.rerank_dtype == "bfloat16":
+                fdt = jnp.bfloat16
+            elif self.rerank_dtype == "auto" and (
+                    2 * 4 * self._cap * Dr > self.RERANK_F32_BUDGET):
+                fdt = jnp.bfloat16
+            else:
+                fdt = jnp.float32
+            if (self._buf_feats is not None
+                    and self._buf_feats.dtype != fdt):
+                self._buf_feats = None  # dtype flip: rebuild the store
             if feat_rebuild or self._buf_feats is None:
                 fbuf = np.zeros((self._cap, Dr), np.float32)
                 fbuf[:len(self._feats)] = self._feats
