@@ -654,38 +654,54 @@ class LOPQSearcherTPU(LOPQSearcherBase):
         return unpack_query_out(packed[:k], K_emit)
 
     @staticmethod
-    def _wave_cap(d, Q):
-        """Per-launch query cap: the rung kernels' dominant transient is
-        ~4 KB per candidate slot (the one-hot ADC's [Q, F*S] bf16
-        contraction operand plus slot metadata), and a resident rerank
-        feature store claims its HBM FIRST — at 10.5M x 256 f32 the
-        store is 11.8 GB of the 15.75 GB chip, and the previous fixed
-        2M-slot budget OOMed the first rerank wave (r04 searcher-rerank
-        artifact, attempt 4). Budget half of what remains."""
+    def _wave_cap(d, Q, V):
+        """Rung-aware per-launch query cap (a function of the rung, for
+        _chunk_waves). Per-query transients: ~4 KB per candidate slot
+        (the one-hot ADC's [Q, F*S] bf16 contraction operand plus slot
+        metadata) PLUS ~28 B per region cell on the strip rungs (the
+        [NQ, G] grid/sort buffers — 40 MB/query at the 1.44M-cell top
+        rung). A resident rerank feature store claims its HBM FIRST
+        (11.8 GB at 10.5M x 256 f32; 5.9 at bf16) — the previous fixed
+        2M-slot budget OOMed the first rerank wave. Budget half of what
+        remains, and floor the cap to a wave bucket: pad_rows rounds
+        waves UP to the bucket set, so an off-bucket cap silently
+        reinflates (cap 87 -> bucket 128 -> 17.3 GB compile OOM, r04)."""
         resident = 0
         for key in ("feats", "feats_sq"):
             a = d.get(key)
             if a is not None:
                 resident += int(np.prod(a.shape)) * a.dtype.itemsize
-        return LOPQSearcherTPU._wave_cap_bytes(resident, Q)
+        return lambda rung: LOPQSearcherTPU._wave_cap_bytes(
+            resident, Q, rung, V)
 
     @staticmethod
-    def _wave_cap_bytes(resident_bytes, Q):
+    def _wave_cap_bytes(resident_bytes, Q, rung=None, V=None):
+        from columbiaimagesearch_tpu.index.tpu_query import rung_cells
+
         free = max(14.0e9 - resident_bytes, 1.2e9)
-        return max(8, int(free / 2 / (max(Q, 1) * 4096)))
+        per_q = max(Q, 1) * 4096
+        if rung is not None and V:
+            per_q += rung_cells(rung, V) * 28
+        cap = max(8, int(free / 2 / per_q))
+        # Floor to the bucket set (powers of two to 128, then x128).
+        if cap < 128:
+            return 1 << (cap.bit_length() - 1)
+        return (cap // 128) * 128
 
     @staticmethod
     def _chunk_waves(run_tier, nq_cap):
         """Wrap ``run_tier`` so big-quota waves split into <= nq_cap
         query chunks: per-query device transients scale with the
-        candidate budget Q, so NQ x Q is capped to bound HBM (a
-        128-query wave at quota=100k allocated tens of GB — r04 4M
-        adversarial sweep OOM)."""
+        candidate budget Q (and the rung's region size), so NQ x Q is
+        capped to bound HBM (a 128-query wave at quota=100k allocated
+        tens of GB — r04 4M adversarial sweep OOM). ``nq_cap`` may be a
+        callable of the rung (rung-aware caps, see _wave_cap)."""
         def wrapped(idx, rung):
-            if len(idx) <= nq_cap:
+            cap = nq_cap(rung) if callable(nq_cap) else nq_cap
+            if len(idx) <= cap:
                 return run_tier(idx, rung)
-            parts = [run_tier(idx[i:i + nq_cap], rung)
-                     for i in range(0, len(idx), nq_cap)]
+            parts = [run_tier(idx[i:i + cap], rung)
+                     for i in range(0, len(idx), cap)]
             return tuple(np.concatenate([p[j] for p in parts])
                          for j in range(5))
         return wrapped
@@ -839,7 +855,7 @@ class LOPQSearcherTPU(LOPQSearcherBase):
             return unpack_query_out(packed[:k], K_emit)
 
         rows_b, dists_b, ncells_b = self._escalate(
-            self._chunk_waves(run_tier, self._wave_cap(d, Q)),
+            self._chunk_waves(run_tier, self._wave_cap(d, Q, V)),
             len(X), quota, nb, K_emit)
         K_out = min(K, K_emit)
         return [
@@ -961,7 +977,7 @@ class LOPQSearcherTPU(LOPQSearcherBase):
             return unpack_query_out(packed[:k], K_emit)
 
         rows_b, dists_b, ncells_b = self._escalate(
-            self._chunk_waves(run_tier, self._wave_cap(d, Q)),
+            self._chunk_waves(run_tier, self._wave_cap(d, Q, V)),
             nq, quota, nb, K_emit)
         K_out = min(K, K_emit)
         return [

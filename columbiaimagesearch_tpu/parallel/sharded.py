@@ -685,7 +685,8 @@ class ShardedLOPQIndex:
          yield_obs) = escalate_probe(
             LOPQSearcherTPU._chunk_waves(
                 run_tier,
-                LOPQSearcherTPU._wave_cap_bytes(per_shard_bytes, Q)),
+                lambda rung: LOPQSearcherTPU._wave_cap_bytes(
+                    per_shard_bytes, Q, rung, V)),
             full_ladder[start:], nq, quota, nb,
             K_emit if R else K_stage)
         with self._stats_lock:
