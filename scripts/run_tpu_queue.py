@@ -10,8 +10,15 @@ a step whose process accrues < ``MIN_CPU_S`` seconds of CPU over
 the artifact path when given, stderr to a per-step log in /tmp.
 
 Usage: python scripts/run_tpu_queue.py [queue-file.json]
-Queue file: [{"cmd": [...], "stdout": "benchmarks/x.json"}, ...]
+Queue file: [{"cmd": [...], "stdout": "benchmarks/x.json",
+              "timeout_s": ..., "idle_window_s": ...}, ...]
 Default queue: the round-3 artifact set.
+
+Set ``idle_window_s`` generously (>= 1500) for steps that spend long
+stretches waiting on REMOTE compiles with near-zero local CPU —
+serving-mode prewarm compiles many bucket programs back to back and
+looks exactly like a wedge to the default 420 s window (it killed the
+r04 serving-10M re-measure mid-prewarm).
 """
 
 import json
@@ -102,7 +109,8 @@ def run_step(step, idx):
                 if cpu is not None:
                     if cpu - window_cpu0 >= MIN_CPU_S:
                         window_t0, window_cpu0 = now, cpu
-                    elif now - window_t0 > IDLE_WINDOW_S:
+                    elif now - window_t0 > step.get("idle_window_s",
+                                                    IDLE_WINDOW_S):
                         print(f"[queue] {name}: wedged "
                               f"({cpu - window_cpu0:.1f}s CPU in "
                               f"{now - window_t0:.0f}s), kill+retry",
