@@ -38,12 +38,20 @@ def build_extr_str_failed(featurizer_type, detector_type, input_type):
         + "_" + EXTR_STR_FAILED
 
 
-def get_featurizer(featurizer_type, params=None):
-    """Factory (reference: featurizer/generic_featurizer.py:5-41)."""
+def get_featurizer(featurizer_type, params=None, device_decode=True):
+    """Factory (reference: featurizer/generic_featurizer.py:5-41).
+
+    ``device_decode=True`` (default): the production extraction route —
+    the host does Huffman-only JPEG coefficient extraction (~2.7x
+    cheaper per core than full decode) and dequant/IDCT/resize run on
+    device (models/jpeg_device.py; measured 122.3 vs 97.5 img/s e2e on
+    the 1-core dev box, r04). Non-JPEG/odd formats fall back to the host
+    pixel path per image, so results are identical either way."""
     if featurizer_type in ("sbpycaffe", "sentibank"):
         from columbiaimagesearch_tpu.models.sentibank import SentibankFeaturizer
 
-        return SentibankFeaturizer(params=params)
+        return SentibankFeaturizer(params=params,
+                                   device_decode=device_decode)
     elif featurizer_type in ("dlib", "face"):
         from columbiaimagesearch_tpu.models.face import FaceEmbedder
 
@@ -92,14 +100,24 @@ class GenericExtractor:
         return self.process_batch([img_buffer])[0]
 
     def process_batch(self, img_buffers):
-        """Batch of buffers -> list of column dicts, one device pass."""
+        """Batch of buffers -> list of column dicts, one device pass.
+
+        Inputs may also be PRE-DECODED pixel arrays (HWC uint8 numpy):
+        production deployments externalize JPEG decode to dedicated host
+        cores/processes (the measured per-core decode scaling law,
+        docs/BENCHMARKS.md), and the chip-side pipeline must not
+        re-decode — arrays skip straight to the batched device
+        featurizer through the same bookkeeping/column path."""
+        import numpy as _np
+
         dtype = get_feat_dtype(self.featurizer_type)
         outs = [self.init_out_dict() for _ in img_buffers]
+        any_pixels = any(isinstance(b, _np.ndarray) for b in img_buffers)
 
         # Fast path: full-image featurizers that take encoded buffers go
         # straight through the native decode pipeline.
-        if self.detector is None and hasattr(self.featurizer,
-                                             "featurize_buffers"):
+        if (self.detector is None and not any_pixels
+                and hasattr(self.featurizer, "featurize_buffers")):
             raws = []
             for buf in img_buffers:
                 if hasattr(buf, "seek"):
@@ -140,6 +158,10 @@ class GenericExtractor:
         imgs = []
         ok = []
         for i, buf in enumerate(img_buffers):
+            if isinstance(buf, _np.ndarray):
+                imgs.append(buf)
+                ok.append(i)
+                continue
             try:
                 imgs.append(load_image_from_buffer(buf))
                 ok.append(i)

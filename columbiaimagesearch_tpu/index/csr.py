@@ -156,15 +156,18 @@ def merge_append_csr(dev_cells, dev_fine, cells_sorted, codes_sorted,
     return dev_cells, dev_fine, cells2, codes2, cell_start, order2
 
 
-@jax.jit
+@functools.partial(jax.jit, donate_argnums=(0,))
 def append_rows(buf, chunk, offset):
     """Slice a row chunk into a capacity buffer at ``offset`` — on device.
 
     Maintenance op for insertion-order side stores that ride along with
     the CSR index (the rerank feature matrix: rows never reorder, so an
     incremental refresh is one dynamic_update_slice instead of a rebuild).
-    The buffer is NOT donated: the searcher's atomic snapshot contract
-    lets in-flight queries keep reading the previous buffer while the
-    refresh swaps in the new one.
+    The buffer IS donated: a second store-sized copy per append OOMed the
+    production config (2 x 11.8 GB at 10.5M x 256 f32 on a 15.75 GB
+    chip) and halved the f32 capacity budget. Queries that raced the
+    donation with a stale snapshot retry on a fresh one (see
+    LOPQSearcherTPU search paths); already-dispatched reads are safe —
+    the runtime sequences buffer reuse after prior consumers.
     """
     return jax.lax.dynamic_update_slice(buf, chunk, (offset, 0))

@@ -12,6 +12,7 @@ device memory instead of LMDB pages.
 """
 
 import threading
+import time
 from collections import defaultdict, namedtuple
 from itertools import count
 
@@ -85,6 +86,69 @@ def _query_geometry(quota, limit, nb, rerank_nb, Q=None):
         K_stage = min(round_up(K, 16), Q)
         R, K_emit = 0, K_stage
     return K, Q, K_stage, R, K_emit
+
+
+def _pack_trace(label, t0, arrs=None):
+    """Opt-in stage timing for the refresh path (CIS_PACK_TIMING=1):
+    blocks on ``arrs`` so each stage's device time lands in its own
+    bucket, then prints the split. Diagnostic only — blocking per stage
+    serializes work the async dispatch would overlap."""
+    import os
+    import sys
+    import time
+
+    if not os.environ.get("CIS_PACK_TIMING"):
+        return time.perf_counter()
+    if arrs:
+        import jax
+
+        jax.block_until_ready([a for a in arrs if a is not None])
+    t1 = time.perf_counter()
+    print(f"[pack] {label}: {t1 - t0:.3f}s", file=sys.stderr, flush=True)
+    return t1
+
+
+def _retry_stale_snapshot(fn):
+    """Run a query body; retry ONCE on a fresh snapshot if it raced a
+    donating refresh. Refreshes donate the rerank store buffer
+    (csr.append_rows) to avoid a second store-sized device copy; a query
+    thread that snapshotted just before the donation then launches with
+    an invalidated handle and jax raises. The body re-snapshots on entry,
+    so one retry always sees consistent post-refresh buffers."""
+    try:
+        return fn()
+    except RuntimeError as e:
+        msg = str(e).lower()
+        if "deleted" not in msg and "donated" not in msg:
+            raise
+        return fn()
+
+
+_HBM_LIMIT = None
+
+
+def hbm_bytes_limit(default=15.75e9):
+    """Per-device HBM size, from the runtime when it reports one.
+
+    ``memory_stats()`` is the source of truth on TPU backends (a v5e
+    reports ~15.75e9 ``bytes_limit``); the CPU backend reports host RAM
+    or nothing, so anything implausibly large or missing falls back to
+    the v5e constant — the HBM-budget heuristics below were measured
+    there and a 125 GB "budget" would disable them in CPU tests."""
+    global _HBM_LIMIT
+    if _HBM_LIMIT is None:
+        limit = 0.0
+        try:
+            import jax
+
+            dev = jax.local_devices()[0]
+            if dev.platform == "tpu":
+                stats = dev.memory_stats() or {}
+                limit = float(stats.get("bytes_limit", 0.0))
+        except Exception:
+            limit = 0.0
+        _HBM_LIMIT = limit if 1e9 < limit < 256e9 else default
+    return _HBM_LIMIT
 
 
 _ROW_NORMS_SQ = None
@@ -241,26 +305,57 @@ class LOPQSearcherTPU(LOPQSearcherBase):
     # (csr.merge_append_csr) instead of re-sorting the whole buffer.
     MERGE_REFRESH_MIN_CAP = 32 << 20
 
-    #: HBM budget (bytes) the f32 rerank store AND its incremental-append
-    #: copy must fit under before "auto" switches to bfloat16: the append
-    #: path (csr.append_rows dynamic_update_slice, NOT donated — the
-    #: snapshot contract lets in-flight queries keep reading the previous
-    #: buffer) transiently holds two store-sized buffers, which OOMed at
-    #: 10.5M x 256 f32 (2 x 11.8 GB on a 15.75 GB chip).
-    RERANK_F32_BUDGET = 13.5e9
+    #: HBM headroom (bytes) the rerank store must leave free: code
+    #: buffers + CSR view, the append chunk, wave transients (the wave
+    #: cap adapts to the store, but needs a working floor), and XLA
+    #: scratch. Appends are donated (csr.append_rows) so the store is
+    #: budgeted at ONE copy — the r04 two-copy transient (2 x 11.8 GB at
+    #: 10.5M x 256 f32 on a 15.75 GB chip) is gone; queries that raced a
+    #: donation retry on a fresh snapshot (see search_batch).
+    RERANK_HEADROOM_BYTES = 2.25e9
+
+    @classmethod
+    def rerank_f32_budget(cls):
+        """Bytes available to a float32 rerank store before "auto" falls
+        back to bfloat16 (15.75e9 - 2.25e9 = 13.5e9 on v5e — the r04
+        measured-safe budget)."""
+        return hbm_bytes_limit() - cls.RERANK_HEADROOM_BYTES
+
+    @classmethod
+    def _plan_rerank_dtype(cls, rerank_dtype, cap, Dr):
+        """Device dtype of the rerank store, decided from the CAPACITY
+        plan (not the current row count): the decision changes only when
+        ``cap`` changes, and capacity growth is already a full rebuild,
+        so no append ever triggers a dtype-flip rebuild on its own.
+        Budgeted at ONE store copy — appends are donated in-place."""
+        import jax.numpy as jnp
+
+        if rerank_dtype == "bfloat16":
+            return jnp.bfloat16
+        if (rerank_dtype == "auto"
+                and 4 * cap * Dr > cls.rerank_f32_budget()):
+            return jnp.bfloat16
+        return jnp.float32
 
     def __init__(self, model, probe_width=None, codestore_path=None,
-                 rerank_dtype="auto"):
+                 rerank_dtype="auto", capacity_hint=0):
         super().__init__()
         self.model = model
         self.probe_width = probe_width
+        #: expected index size (rows). Capacity growth is the expensive
+        #: refresh event — a [cap] shape change re-uploads every buffer
+        #: AND recompiles every rung program (30-300 s each through a
+        #: remote-compile relay). Sizing the buffers once up front makes
+        #: every later refresh an in-place donated append.
+        self.capacity_hint = int(capacity_hint)
         #: device dtype for the resident rerank feature matrix. "float32"
         #: is exact; "bfloat16" halves HBM (the 10M x 256-d store drops
         #: from ~11.8 GB to ~5.9 GB) at ~1e-3 relative distance error
         #: (the brute/rerank preselect is bf16 regardless; the f32
         #: re-score then reads bf16-rounded stored values). "auto"
-        #: (default) picks float32 while the store and its append copy
-        #: fit in RERANK_F32_BUDGET, bfloat16 beyond.
+        #: (default) picks float32 while ONE store copy fits in
+        #: rerank_f32_budget(), bfloat16 beyond (appends are donated
+        #: in-place, so the store is never duplicated on device).
         self.rerank_dtype = rerank_dtype
         self._pending = []  # list of (cells int64 [n], fine uint8 [n, M],
         #                     ids, feats float32 [n, D] or None)
@@ -373,6 +468,7 @@ class LOPQSearcherTPU(LOPQSearcherBase):
     def _pack_locked(self):
         if not self._dirty:
             return
+        t = time.perf_counter()
         V = self.model.V
         if V > 46340:
             # Cell ids c0*V + c1 live in int32 buffers (and V*V is the
@@ -416,6 +512,7 @@ class LOPQSearcherTPU(LOPQSearcherBase):
                     self._feats = np.concatenate([self._feats, feats_new])
         n = len(self._cells) if self._cells is not None else 0
         self.nb_indexed = n
+        t = _pack_trace("host_merge", t)
         if n == 0:
             self._dirty = False
             return
@@ -449,7 +546,8 @@ class LOPQSearcherTPU(LOPQSearcherBase):
         M = self._fine.shape[1]
         sentinel = V * V
         quantum = (1 << 20) if n >= (1 << 20) else 16384
-        need_cap = round_up(n + self.CHUNK_QUANTUM, quantum)
+        need_cap = round_up(max(n + self.CHUNK_QUANTUM,
+                                self.capacity_hint), quantum)
         if self._buf_cells is None or need_cap > self._cap:
             # (Re)build: allocate capacity buffers prefilled with every row.
             self._cap = need_cap
@@ -499,6 +597,9 @@ class LOPQSearcherTPU(LOPQSearcherBase):
              cell_start, order) = append_and_build_csr(
                 self._buf_cells, self._buf_fine, jnp.asarray(chunk_c),
                 jnp.asarray(chunk_f), jnp.int32(offset), V, wide=wide)
+        t = _pack_trace("csr_build", t,
+                        (self._buf_cells, cells_sorted, codes, cell_start,
+                         order))
         # Rerank feature store: insertion-order rows, so it never takes
         # part in the CSR sort — a rebuild uploads the whole padded matrix,
         # an incremental refresh slices in only the new rows.
@@ -506,17 +607,23 @@ class LOPQSearcherTPU(LOPQSearcherBase):
             from columbiaimagesearch_tpu.index.csr import append_rows
 
             Dr = self._feats.shape[1]
-            if self.rerank_dtype == "bfloat16":
-                fdt = jnp.bfloat16
-            elif self.rerank_dtype == "auto" and (
-                    2 * 4 * self._cap * Dr > self.RERANK_F32_BUDGET):
-                fdt = jnp.bfloat16
-            else:
-                fdt = jnp.float32
+            fdt = self._plan_rerank_dtype(self.rerank_dtype, self._cap, Dr)
             if (self._buf_feats is not None
                     and self._buf_feats.dtype != fdt):
-                self._buf_feats = None  # dtype flip: rebuild the store
+                # Dtype flips only when the CAPACITY plan changed, and a
+                # capacity change is already a full rebuild — so a flip
+                # never forces a rebuild that wasn't happening anyway.
+                self._buf_feats = None
             if feat_rebuild or self._buf_feats is None:
+                # Rebuild: drop OUR references to the old store before
+                # uploading the new one so HBM holds one copy (in-flight
+                # query snapshots may still pin the old buffer briefly).
+                self._buf_feats = None
+                if self._dev.get("feats") is not None:
+                    d_old = dict(self._dev)
+                    d_old["feats"] = None
+                    d_old["feats_sq"] = None
+                    self._dev = d_old
                 fbuf = np.zeros((self._cap, Dr), np.float32)
                 fbuf[:len(self._feats)] = self._feats
                 self._buf_feats = jnp.asarray(fbuf, dtype=fdt)
@@ -525,9 +632,13 @@ class LOPQSearcherTPU(LOPQSearcherBase):
                 k_pad = round_up(k, self.CHUNK_QUANTUM)
                 fchunk = np.zeros((k_pad, Dr), np.float32)
                 fchunk[:k] = self._feats[offset:n]
+                # Donated in-place slice: the store is never duplicated
+                # on device (the old handle is invalidated — stale query
+                # snapshots retry, see search_batch).
                 self._buf_feats = append_rows(
                     self._buf_feats, jnp.asarray(fchunk, dtype=fdt),
                     jnp.int32(offset))
+            t = _pack_trace("feats_store", t, (self._buf_feats,))
         self._n_dev = n
         # Atomic swap: in-flight queries holding the previous dict keep a
         # consistent (codes, cell_start, order) triple.
@@ -559,6 +670,8 @@ class LOPQSearcherTPU(LOPQSearcherBase):
         else:
             dev["feats_sq"] = None
             dev["n_occ"] = None
+        _pack_trace("store_meta", t, (dev.get("feats_sq"),
+                                      dev.get("n_occ")))
         self._dev = dev
         self._dirty = False
 
@@ -610,8 +723,6 @@ class LOPQSearcherTPU(LOPQSearcherBase):
         the grid path too (benchmarking knob)."""
         if not R or d.get("feats") is None or self.probe_width:
             return False
-        import jax.numpy as jnp
-
         from columbiaimagesearch_tpu.index.tpu_query import (prefer_brute,
                                                              rung_floor)
 
@@ -619,10 +730,7 @@ class LOPQSearcherTPU(LOPQSearcherBase):
         with self._mutlock:
             floor = rung_floor(ladder, quota, nb, self.model.V,
                                self._yield_ema)
-        feats = d["feats"]
-        fb = 2 if feats.dtype == jnp.bfloat16 else 4
-        return prefer_brute(ladder[floor:], nq, nb, self.model.V,
-                            feats.shape[1], fb)
+        return prefer_brute(ladder[floor:], nq, nb, self.model.V)
 
     def _run_brute(self, X_dev, d, nb, R, K_emit, n_valid=None,
                    fused=False, renorm=False):
@@ -674,11 +782,19 @@ class LOPQSearcherTPU(LOPQSearcherBase):
         return lambda rung: LOPQSearcherTPU._wave_cap_bytes(
             resident, Q, rung, V)
 
+    #: HBM headroom (bytes) reserved for everything that is not the wave
+    #: transients: code buffers + sorted view + offsets (~0.4 GB at 10.5M),
+    #: XLA scratch, and the runtime. 15.75e9 - 1.75e9 reproduces the
+    #: measured-safe 14.0e9 wave budget on v5e.
+    WAVE_HEADROOM_BYTES = 1.75e9
+
     @staticmethod
     def _wave_cap_bytes(resident_bytes, Q, rung=None, V=None):
         from columbiaimagesearch_tpu.index.tpu_query import rung_cells
 
-        free = max(14.0e9 - resident_bytes, 1.2e9)
+        hbm = hbm_bytes_limit()
+        free = max(hbm - LOPQSearcherTPU.WAVE_HEADROOM_BYTES
+                   - resident_bytes, 1.2e9)
         per_q = max(Q, 1) * 4096
         if rung is not None and V:
             per_q += rung_cells(rung, V) * 28
@@ -729,7 +845,8 @@ class LOPQSearcherTPU(LOPQSearcherBase):
             self._wave_i += 1
             if start > floor and self._wave_i % self.REPROBE_EVERY == 0:
                 start = floor
-        rows, dists, ncells, frac_short, settle, yield_obs = escalate_probe(
+        (rows, dists, ncells, frac_short, settle, yield_obs,
+         settled) = escalate_probe(
             run_tier, ladder[start:], n, quota, nb, K_pad)
         with self._mutlock:
             # The hint jumps straight to the rung where >= 90% of this
@@ -739,7 +856,14 @@ class LOPQSearcherTPU(LOPQSearcherBase):
             # workload that always escalated 64 -> 128+8 -> 256+16 re-paid
             # the narrow rungs every wave (12.8 ms/query measured vs
             # 8.5 ms for the settle rung alone, r04 searcher artifact).
+            # An UNSETTLED wave (<90% satisfied even at the widest rung)
+            # raises the hint only when the MAJORITY actually escalated:
+            # a few outlier queries must not pin up to REPROBE_EVERY
+            # subsequent in-distribution waves to the widest (110 ms)
+            # rung (r04 advisor finding).
             new_hint = min(start + settle, len(ladder) - 1)
+            if not settled and frac_short < 0.5:
+                new_hint = self._tier_hint
             if start == floor:
                 self._tier_hint = new_hint   # full ladder view: may decay
             else:
@@ -765,6 +889,12 @@ class LOPQSearcherTPU(LOPQSearcherBase):
 
     def search_batch(self, X, quota=10, limit=None, with_dists=False,
                      with_codes=True, rerank_nb=None):
+        return _retry_stale_snapshot(lambda: self._search_batch_impl(
+            X, quota=quota, limit=limit, with_dists=with_dists,
+            with_codes=with_codes, rerank_nb=rerank_nb))
+
+    def _search_batch_impl(self, X, quota=10, limit=None, with_dists=False,
+                           with_codes=True, rerank_nb=None):
         """vmap-batched queries: one device launch for len(X) queries
         (one dispatch; serving throughput mode). Returns a list of
         (results, visited) pairs.
@@ -899,6 +1029,13 @@ class LOPQSearcherTPU(LOPQSearcherBase):
 
     def search_device_feats(self, feats_dev, quota=10, limit=None,
                             with_dists=True, rerank_nb=None, n_valid=None):
+        return _retry_stale_snapshot(lambda: self._search_device_feats_impl(
+            feats_dev, quota=quota, limit=limit, with_dists=with_dists,
+            rerank_nb=rerank_nb, n_valid=n_valid))
+
+    def _search_device_feats_impl(self, feats_dev, quota=10, limit=None,
+                                  with_dists=True, rerank_nb=None,
+                                  n_valid=None):
         """Serving fast path: RAW device-resident features (straight from
         the featurizer forward, pre-normalize, pre-PCA) -> results, in one
         program + one device-to-host sync per probe tier (waves padded to
@@ -990,6 +1127,12 @@ class LOPQSearcherTPU(LOPQSearcherBase):
 
     def search(self, x, quota=10, limit=None, with_dists=False,
                rerank_nb=None):
+        return _retry_stale_snapshot(lambda: self._search_impl(
+            x, quota=quota, limit=limit, with_dists=with_dists,
+            rerank_nb=rerank_nb))
+
+    def _search_impl(self, x, quota=10, limit=None, with_dists=False,
+                     rerank_nb=None):
         """Fused device query; same contract as the parity searcher.
         Escalates the probe width when the candidate total falls short of
         the quota or the grid certificate fails (see :attr:`PROBE_LADDER`);

@@ -805,13 +805,15 @@ def rung_cells(spec, V):
     return SB * SL + (B - SB) * B + (SL - B) * SB
 
 
-def prefer_brute(ladder_tail, nq, nb, V, Dr, feat_bytes=4):
+def prefer_brute(ladder_tail, nq, nb, V):
     """True when one exact brute wave over the feature store is cheaper
     than the grid ladder's starting rung for this wave. ``ladder_tail``
     is the ladder from its floor rung on (empty -> brute wins by
     default). Both sides are per-query costs: the brute top_k is
     per-query-linear in rows (see BRUTE_NS_PER_ROW — waves do not
-    amortize it), the grid rung is linear in its region cells."""
+    amortize it), the grid rung is linear in its region cells. The
+    store's feature width/dtype deliberately do not appear: the brute
+    pass is selection-bound, not bandwidth-bound (r04 measurement)."""
     if not ladder_tail:
         return True
     brute_ns = BRUTE_NS_FIXED / max(nq, 1) + nb * BRUTE_NS_PER_ROW
@@ -917,10 +919,14 @@ def escalate_probe(run_tier, ladder, n, quota, nb, K_pad):
         could not satisfy (escalation-count stats) — settle_tier: the
         smallest index into ``ladder`` at which >= 90% of the wave's
         queries were cumulatively satisfied (the rung the tier hint
-        should start the next wave at; capped at the last rung) — and
+        should start the next wave at; capped at the last rung) —
         yield_obs: mean candidates-per-visited-cell over satisfied
         queries (None if none were satisfied), feeding the searchers'
-        quota-aware rung floor)
+        quota-aware rung floor — and settled: whether the 90% threshold
+        was reached at ANY rung. When False, settle_tier is the default
+        last rung and the wave was an outlier (or the quota is
+        unreachable); the searchers use this to avoid letting one
+        outlier wave pin the tier hint to the widest rung.)
     """
     import numpy as np
 
@@ -931,6 +937,7 @@ def escalate_probe(run_tier, ladder, n, quota, nb, K_pad):
     pend = np.arange(n)
     frac_short_first = 0.0
     settle_tier = max(len(ladder) - 1, 0)
+    settled = False
     yield_sum, yield_n = 0.0, 0
     for ti, B in enumerate(ladder):
         r, dd, tot, nc, ok = run_tier(pend, B)
@@ -948,9 +955,9 @@ def escalate_probe(run_tier, ladder, n, quota, nb, K_pad):
             yield_n += int(sat.sum())
         if ti == 0:
             frac_short_first = float(short.mean()) if n else 0.0
-        if n and (n - int(short.sum())) >= 0.9 * n \
-                and settle_tier == len(ladder) - 1 and ti < settle_tier:
+        if n and (n - int(short.sum())) >= 0.9 * n and not settled:
             settle_tier = ti
+            settled = True
         if ti + 1 == len(ladder):
             break
         pend = pend[short]
@@ -958,7 +965,7 @@ def escalate_probe(run_tier, ladder, n, quota, nb, K_pad):
             break
     yield_obs = (yield_sum / yield_n) if yield_n else None
     return (rows_b, dists_b, ncells_b, frac_short_first, settle_tier,
-            yield_obs)
+            yield_obs, settled)
 
 
 @jax.jit

@@ -245,6 +245,12 @@ class FaceAligner:
 
     def __init__(self, params=None, seed: int = 0,
                  n_points: int = N_POINTS):
+        if n_points not in (N_POINTS, 68):
+            # Mirrors make_landmark_training_set's check: any other value
+            # would pair with the 68-point template and only fail later
+            # inside estimate_similarity with an opaque shape error.
+            raise ValueError(
+                f"n_points must be {N_POINTS} or 68, got {n_points}")
         self.n_points = n_points
         self.template = (CANONICAL_POINTS if n_points == N_POINTS
                          else canonical_points_68())

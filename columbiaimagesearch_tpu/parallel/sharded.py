@@ -102,12 +102,18 @@ class ShardedLOPQIndex:
     #: appended per-shard chunks are sentinel-padded to this multiple
     CHUNK_QUANTUM = 1024
 
-    def __init__(self, model, mesh=None, probe_width=None):
+    def __init__(self, model, mesh=None, probe_width=None,
+                 rerank_dtype="auto"):
         self.model = model
         self.mesh = mesh if mesh is not None else make_mesh(axis=SHARD_AXIS)
         if self.mesh.axis_names[0] != SHARD_AXIS:
             raise ValueError(f"index mesh axis must be '{SHARD_AXIS}'")
         self.probe_width = probe_width
+        #: per-shard rerank-store dtype policy — same plan as the
+        #: single-chip store (LOPQSearcherTPU._plan_rerank_dtype): "auto"
+        #: keeps float32 while ONE [cap_per, D] copy fits the per-chip
+        #: budget, bfloat16 beyond; appends are donated in-place.
+        self.rerank_dtype = rerank_dtype
         self.nb_indexed = 0
         self._ids = None          # [n] host object array, insertion order
         self._cells_host = None   # [n] int64, insertion order (rebuilds)
@@ -298,19 +304,71 @@ class ShardedLOPQIndex:
         dev["cell_start"] = cell_start
         dev["order"] = order
         dev["feats"] = self._buf_feats
+        # Stale by construction after a refresh: row norms must match the
+        # refreshed store (recomputed lazily, _feats_sq_dev), and the
+        # occupied-cell count must come from the NEW offsets — the
+        # previous dict's values would silently ride along in the copy.
+        dev["feats_sq"] = None
+        if self._buf_feats is not None:
+            # Exact mesh-wide occupied-cell count (a cell counts once even
+            # when several shards hold members): the single-chip searcher
+            # reports the real count in results metadata; min(nb, V*V) was
+            # only an upper bound on sparse indexes.
+            dev["n_occ"] = self._n_occ_fn()(cell_start)
+        else:
+            dev["n_occ"] = None
         self._dev = dev
+
+    def _n_occ_fn(self):
+        """Cached mesh program: count cells occupied on >= 1 shard."""
+        key = ("nocc",)
+        fn = self._qfns.get(key)
+        if fn is None:
+            def shard_occ(cell_start):
+                cs = cell_start[0]
+                occ = (cs[1:] > cs[:-1]).astype(jnp.int32)
+                tot = jax.lax.psum(occ, SHARD_AXIS)
+                return jnp.sum((tot > 0).astype(jnp.int32))
+
+            fn = jax.jit(jax.shard_map(
+                shard_occ, mesh=self.mesh,
+                in_specs=(P(SHARD_AXIS),), out_specs=P()))
+            self._qfns[key] = fn
+        return fn
+
+    def _plan_feat_dtype(self, D):
+        """Per-shard rerank-store dtype from the CAPACITY plan — the
+        single-chip policy (LOPQSearcherTPU._plan_rerank_dtype) applied
+        to one shard's [cap_per, D] extent."""
+        from columbiaimagesearch_tpu.index.searcher import LOPQSearcherTPU
+
+        return LOPQSearcherTPU._plan_rerank_dtype(
+            self.rerank_dtype, self._cap_per, D)
 
     def _upload_feats(self, prev_n, n, n_dev, sh):
         """Mirror the codes upload for the insertion-order feature store:
-        full scatter on (re)build, per-shard dynamic_update_slice chunks on
-        incremental refresh."""
+        full scatter on (re)build, per-shard donated dynamic_update_slice
+        chunks on incremental refresh (no second store-sized copy per
+        shard — queries that raced the donation retry on a fresh
+        snapshot, see search_batch)."""
         D = self._feats_host.shape[1]
+        fdt = self._plan_feat_dtype(D)
         if (self._buf_feats is None
-                or self._buf_feats.shape[1] != self._cap_per):
+                or self._buf_feats.shape[1] != self._cap_per
+                or self._buf_feats.dtype != fdt):
+            # Rebuild: drop OUR references to the old store before the new
+            # upload so each shard's HBM holds one copy. (A dtype flip only
+            # happens when cap_per changed, which is a rebuild anyway.)
+            self._buf_feats = None
+            if self._dev is not None and self._dev.get("feats") is not None:
+                d_old = dict(self._dev)
+                d_old["feats"] = None
+                d_old["feats_sq"] = None
+                self._dev = d_old
             fbuf = np.zeros((n_dev, self._cap_per, D), np.float32)
             shard_of, slot_of = self._deal(0, n, n_dev)
             fbuf[shard_of, slot_of] = self._feats_host
-            self._buf_feats = jax.device_put(fbuf, sh)
+            self._buf_feats = jax.device_put(fbuf.astype(fdt), sh)
             return
         k = n - prev_n
         if k == 0:
@@ -323,7 +381,7 @@ class ShardedLOPQIndex:
         chunk[shard_of, slot_of - base[shard_of]] = self._feats_host[prev_n:n]
         offsets = base[:, None].astype(np.int32)
 
-        key = ("fappend", self._cap_per, kq, D)
+        key = ("fappend", self._cap_per, kq, D, jnp.dtype(fdt).name)
         fn = self._qfns.get(key)
         if fn is None:
             def shard_fappend(buf, chunk, offset):
@@ -331,15 +389,16 @@ class ShardedLOPQIndex:
                     buf[0], chunk[0], (offset[0, 0], jnp.int32(0)))
                 return b[None]
 
-            # NOT donated: dev["feats"] is query-visible, and the atomic
-            # snapshot contract lets in-flight queries keep reading the
-            # previous buffer while the refresh swaps in the new one.
+            # Donated: the per-shard two-copy transient is exactly the
+            # OOM class that cost round 4 three debug cycles on the
+            # single-chip path; stale-snapshot races retry (search_batch).
             fn = jax.jit(jax.shard_map(
                 shard_fappend, mesh=self.mesh,
                 in_specs=(P(SHARD_AXIS),) * 3,
-                out_specs=P(SHARD_AXIS)))
+                out_specs=P(SHARD_AXIS)), donate_argnums=(0,))
             self._qfns[key] = fn
-        self._buf_feats = fn(self._buf_feats, jax.device_put(chunk, sh),
+        self._buf_feats = fn(self._buf_feats,
+                             jax.device_put(chunk.astype(fdt), sh),
                              jax.device_put(offsets, sh))
 
     @staticmethod
@@ -545,12 +604,9 @@ class ShardedLOPQIndex:
         with self._stats_lock:
             floor = rung_floor(ladder, quota, nb, self.model.V,
                                self._yield_ema)
-        feats = d["feats"]
-        fb = 2 if feats.dtype == jnp.bfloat16 else 4
         n_dev = self.mesh.devices.size
         nb_shard = (nb + n_dev - 1) // n_dev
-        return prefer_brute(ladder[floor:], nq, nb_shard, self.model.V,
-                            feats.shape[-1], fb)
+        return prefer_brute(ladder[floor:], nq, nb_shard, self.model.V)
 
     def _feats_sq_dev(self, d):
         """Per-shard row norms^2 of the resident feature store, computed
@@ -575,6 +631,14 @@ class ShardedLOPQIndex:
         return fsq
 
     def search_batch(self, X, quota=10, limit=None, rerank_nb=None):
+        from columbiaimagesearch_tpu.index.searcher import (
+            _retry_stale_snapshot,
+        )
+
+        return _retry_stale_snapshot(lambda: self._search_batch_impl(
+            X, quota=quota, limit=limit, rerank_nb=rerank_nb))
+
+    def _search_batch_impl(self, X, quota=10, limit=None, rerank_nb=None):
         """Fan a wave of queries out to all shards in one launch per probe
         tier; returns a list of ([(id, dist)], cells_visited) per query.
 
@@ -622,8 +686,11 @@ class ShardedLOPQIndex:
             fsq = self._feats_sq_dev(d)
             fn = self._brute_query_fn(Dr, R, K_emit)
             Xw, k = pad_rows(X, wave_bucket(nq))
+            n_occ = d.get("n_occ")
+            if n_occ is None:
+                n_occ = jnp.int32(min(nb, V * V))
             packed = fn(jnp.asarray(Xw), d["feats"], fsq,
-                        jnp.int32(nb), jnp.int32(min(nb, V * V)))
+                        jnp.int32(nb), n_occ)
             packed = np.asarray(packed)[0]
             rows_b, dists_b, _total, ncells_b, _ok = unpack_query_out(
                 packed[:k], K_emit)
@@ -682,7 +749,7 @@ class ShardedLOPQIndex:
                                if f.ndim == 3
                                else int(np.prod(f.shape)) * f.dtype.itemsize)
         (rows_b, dists_b, ncells_b, frac_short, settle,
-         yield_obs) = escalate_probe(
+         yield_obs, settled) = escalate_probe(
             LOPQSearcherTPU._chunk_waves(
                 run_tier,
                 lambda rung: LOPQSearcherTPU._wave_cap_bytes(
@@ -690,8 +757,12 @@ class ShardedLOPQIndex:
             full_ladder[start:], nq, quota, nb,
             K_emit if R else K_stage)
         with self._stats_lock:
-            # Settle-rung hint policy — same as LOPQSearcherTPU._escalate.
+            # Settle-rung hint policy — same as LOPQSearcherTPU._escalate,
+            # including the outlier-wave guard (an unsettled wave raises
+            # the hint only when the majority actually escalated).
             new_hint = min(start + settle, len(full_ladder) - 1)
+            if not settled and frac_short < 0.5:
+                new_hint = self._tier_hint
             if start == floor:
                 self._tier_hint = new_hint
             else:
@@ -735,10 +806,12 @@ class ShardedLOPQSearcher:
     returns the same Result tuples as the single-chip searchers.
     """
 
-    def __init__(self, model, mesh=None, probe_width=None):
+    def __init__(self, model, mesh=None, probe_width=None,
+                 rerank_dtype="auto"):
         self.model = model
         self.index = ShardedLOPQIndex(model, mesh=mesh,
-                                      probe_width=probe_width)
+                                      probe_width=probe_width,
+                                      rerank_dtype=rerank_dtype)
         import threading
 
         from columbiaimagesearch_tpu.utils.codes import IncrementalDedup

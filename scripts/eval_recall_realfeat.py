@@ -73,45 +73,18 @@ def main():
     log(f"devices: {jax.devices()}")
 
     # ---- device-side procedural image synthesis --------------------------
-    # Each image: low-frequency color field + 3 sinusoidal gratings with
-    # random orientation/frequency/phase + 2 gaussian blobs + pixel noise.
-    # Structured enough that conv features vary meaningfully across images.
-    yy, xx = jnp.meshgrid(jnp.linspace(0, 1, 256), jnp.linspace(0, 1, 256),
-                          indexing="ij")
-
-    def one_image(key):
-        ks = jax.random.split(key, 8)
-        base = jax.random.uniform(ks[0], (1, 1, 3)) * 255.0
-        grad_dir = jax.random.normal(ks[1], (2, 3))
-        img = base + 60.0 * (yy[..., None] * grad_dir[0]
-                             + xx[..., None] * grad_dir[1])
-        ang = jax.random.uniform(ks[2], (3,)) * jnp.pi
-        freq = jax.random.uniform(ks[3], (3,), minval=2.0, maxval=40.0)
-        phase = jax.random.uniform(ks[4], (3,)) * 2 * jnp.pi
-        amp = jax.random.uniform(ks[5], (3, 3)) * 50.0
-        for g in range(3):
-            wave = jnp.sin(2 * jnp.pi * freq[g]
-                           * (xx * jnp.cos(ang[g]) + yy * jnp.sin(ang[g]))
-                           + phase[g])
-            img = img + wave[..., None] * amp[g]
-        c = jax.random.uniform(ks[6], (2, 2))
-        s = jax.random.uniform(ks[7], (2,), minval=0.01, maxval=0.08)
-        for b in range(2):
-            blob = jnp.exp(-(((xx - c[b, 0]) ** 2 + (yy - c[b, 1]) ** 2)
-                             / (2 * s[b])))
-            img = img + 80.0 * blob[..., None]
-        return jnp.clip(img, 0, 255).astype(jnp.uint8)
+    # Shared renderer (columbiaimagesearch_tpu/utils/synthimg.py): the
+    # serving bench's --realfeat mode indexes the same distribution, so
+    # recall and serving artifacts are comparable.
+    from columbiaimagesearch_tpu.utils.synthimg import make_render_batch
 
     params = init_params(0)
     mean = jnp.asarray(default_mean_image())
 
-    # Two separate programs: fusing the vmapped procedural synthesis into
-    # the conv net produced one enormous HLO whose remote compile never
-    # returned (>18 min); split, each compiles in seconds.
-    @jax.jit
-    def synth_batch(key):
-        keys = jax.random.split(key, args.batch)
-        return jax.vmap(one_image)(keys)
+    # Two separate programs (see make_render_batch): fusing the vmapped
+    # synthesis into the conv net produced one enormous HLO whose remote
+    # compile never returned (>18 min); split, each compiles in seconds.
+    synth_batch = make_render_batch(args.batch)
 
     @jax.jit
     def extract_batch(imgs, params, mean):

@@ -217,6 +217,31 @@ def _mine_image(det, img, per_img, mined):
                 (WINDOW, WINDOW), Image.BILINEAR), dtype=np.float32))
 
 
+def real_mosaic_negatives(n_scenes=12, seed0=5000):
+    """Face-free mosaic scenes built from real non-face crops of the
+    bundled portrait(s) (the deployment-domain texture the real-composite
+    eval exposed as the FP source: uniform background, insignia, fabric).
+    Seeds are DISJOINT from the eval's scene stream
+    (scripts/eval_face_real_composite.py uses RandomState(0)) — same
+    texture source, different crops; the honest caveat (one photo) is
+    recorded in the eval artifact and docs/PARITY.md."""
+    from PIL import Image
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from eval_face_real_composite import _mosaic
+
+    scenes = []
+    for path, bbox in DEFAULT_ANNOTATIONS.items():
+        gray = np.asarray(Image.open(path).convert("L"), np.float32)
+        l, t, r, b = bbox
+        m = 40
+        keepout = (l - m, t - m, r + m, b + m)
+        for i in range(n_scenes):
+            rng = np.random.RandomState(seed0 + i)
+            scenes.append(_mosaic(rng, gray, keepout))
+    return scenes
+
+
 def mine_hard_negatives(det, n_scenes, rng, per_scene=8, real_imgs=()):
     """Run the current template over face-free scenes AND the real-photo
     negative corpus; return top-scoring false positives as new negatives."""
@@ -295,6 +320,14 @@ def main():
         real_imgs = real_negative_images()
         for img in real_imgs:
             neg += random_crops(img, rng, n=24)
+        # Deployment-domain hard negatives: mosaics of the portrait's own
+        # non-face texture (the r05 real-composite eval measured AP 0.25
+        # with precision collapsing on exactly these textures). They join
+        # both the base negative pool and the mining image set.
+        mosaics = real_mosaic_negatives()
+        for img in mosaics:
+            neg += random_crops(img, rng, n=16, lo=60, hi=200)
+        real_imgs = list(real_imgs) + mosaics
         print(f"training on {len(pos)} positives / {len(neg)} negatives "
               f"from {args.synth} procedural identities"
               f"{'' if args.synth_only else ' + bundled portraits'}"
