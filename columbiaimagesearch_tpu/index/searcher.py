@@ -359,11 +359,21 @@ class LOPQSearcherTPU(LOPQSearcherBase):
         self.rerank_dtype = rerank_dtype
         self._pending = []  # list of (cells int64 [n], fine uint8 [n, M],
         #                     ids, feats float32 [n, D] or None)
-        self._cells = None  # int64 [n] cell ids, INSERTION order
-        self._fine = None   # uint8 [n, M], insertion order
-        self._ids = None    # object [n]
-        self._feats = None  # float32 [n, D] index-space rerank features,
-        #                     insertion order (None when any add omitted them)
+        # Host mirror, kept in CAPACITY-padded arrays written in place:
+        # appends write only rows past the previous count, so they cost
+        # O(new rows) — a per-append np.concatenate rewrites the whole
+        # mirror (10.7 GB at 10.5M x 256), which alone cost ~100 s per
+        # 8k-row refresh on the page-fault-bound dev host (r04's 123 s
+        # "refresh"). Rows past _n_host are uninitialized.
+        self._host_cap = 0
+        self._n_host = 0
+        self._cells = None  # int64 [host_cap], INSERTION order
+        self._fine = None   # uint8 [host_cap, M], insertion order
+        self._ids = None    # int64 [host_cap] while every add used
+        #                     identity ids; object [host_cap] after the
+        #                     first explicit-id add (one-time convert)
+        self._feats = None  # float32 [host_cap, D] index-space rerank
+        #                     features (None when any add omitted them)
         self._dedup = IncrementalDedup()
         self._buf_cells = None  # device [cap] int32, sentinel-padded
         self._buf_fine = None   # device [cap, M] uint8
@@ -375,9 +385,10 @@ class LOPQSearcherTPU(LOPQSearcherBase):
         # Serving refreshes run concurrently with queries (threaded API +
         # background load_codes): mutations hold this lock, and queries
         # snapshot (_dev, ids, cells, fine) atomically so a mid-query
-        # repack can't mix old offsets with new codes. Appends replace the
-        # host arrays rather than mutating them, so a stale snapshot is
-        # always internally consistent.
+        # repack can't mix old offsets with new codes. Appends write only
+        # PAST the rows a stale snapshot's [:n] views cover (and capacity
+        # growth allocates fresh arrays), so a stale snapshot is always
+        # internally consistent.
         self._mutlock = threading.RLock()
         self._tier_hint = 0  # probe-ladder start rung (see _escalate)
         self._wave_i = 0
@@ -408,6 +419,50 @@ class LOPQSearcherTPU(LOPQSearcherBase):
         return self.nb_indexed
 
     # ------------------------------------------------------------- indexing
+
+    def _plan_capacity(self, n):
+        """Capacity (rows) for ``n`` occupied rows — shared by the host
+        mirror and the device buffers so both grow on the same refresh
+        (growth is the expensive event: full re-upload + rung-program
+        recompiles; ``capacity_hint`` sizes it once for production)."""
+        quantum = (1 << 20) if n >= (1 << 20) else 16384
+        return round_up(max(n + self.CHUNK_QUANTUM, self.capacity_hint),
+                        quantum)
+
+    def _host_reserve(self, n_target, M, D, ids_obj=False):
+        """Ensure the host capacity mirror holds ``n_target`` rows.
+
+        Growth allocates FRESH arrays and copies the occupied prefix —
+        stale snapshot views keep their old base buffers, so concurrent
+        readers stay consistent. ``ids_obj`` upgrades the ids mirror from
+        the identity int64 fast path to object dtype (one-time boxing;
+        see _codes_to_arrays for why identity ids avoid object arrays)."""
+        n = self._n_host
+        if self._cells is None:
+            self._host_cap = self._plan_capacity(n_target)
+            self._cells = np.empty(self._host_cap, np.int64)
+            self._fine = np.empty((self._host_cap, M), np.uint8)
+            self._ids = np.empty(self._host_cap,
+                                 dtype=object if ids_obj else np.int64)
+            if D is not None:
+                self._feats = np.empty((self._host_cap, D), np.float32)
+            return
+        if n_target > self._host_cap:
+            cap = self._plan_capacity(n_target)
+            for name in ("_cells", "_fine", "_ids", "_feats"):
+                a = getattr(self, name)
+                if a is None:
+                    continue
+                grown = np.empty((cap,) + a.shape[1:], dtype=a.dtype)
+                grown[:n] = a[:n]
+                setattr(self, name, grown)
+            self._host_cap = cap
+        if ids_obj and self._ids.dtype != object:
+            up = np.empty(self._host_cap, dtype=object)
+            up[:n] = self._ids[:n]
+            self._ids = up
+        if D is not None and self._feats is None and n == 0:
+            self._feats = np.empty((self._host_cap, D), np.float32)
 
     def add_codes(self, codes, ids=None, feats=None):
         """Index codes; optionally store the matching index-space features
@@ -486,7 +541,7 @@ class LOPQSearcherTPU(LOPQSearcherBase):
             # and pending) supplied features — a single gap would make
             # device "exact" distances silently wrong for those rows.
             feats_ok = (all(p[3] is not None for p in self._pending)
-                        and (self._cells is None or self._feats is not None))
+                        and (self._n_host == 0 or self._feats is not None))
             feats_new = (np.concatenate([p[3] for p in self._pending])
                          if feats_ok else None)
             self._pending = []
@@ -500,17 +555,23 @@ class LOPQSearcherTPU(LOPQSearcherBase):
             if not feats_ok and self._feats is not None:
                 self._feats = None
                 self._buf_feats = None  # free ~cap*D*4 bytes of HBM
-            if self._cells is None:
-                self._cells, self._fine, self._ids = (cells_new, fine_new,
-                                                      ids_new)
-                self._feats = feats_new
-            elif len(cells_new):
-                self._cells = np.concatenate([self._cells, cells_new])
-                self._fine = np.concatenate([self._fine, fine_new])
-                self._ids = np.concatenate([self._ids, ids_new])
+            k = len(cells_new)
+            if k:
+                # In-place append into the capacity mirror: O(k) host
+                # work (see the _host_cap field comment for why a
+                # concatenate here cost ~100 s per refresh at 10.5M).
+                self._host_reserve(
+                    self._n_host + k, fine_new.shape[1],
+                    feats_new.shape[1] if feats_new is not None else None,
+                    ids_obj=ids_new.dtype == object)
+                n0 = self._n_host
+                self._cells[n0:n0 + k] = cells_new
+                self._fine[n0:n0 + k] = fine_new
+                self._ids[n0:n0 + k] = ids_new
                 if feats_new is not None and self._feats is not None:
-                    self._feats = np.concatenate([self._feats, feats_new])
-        n = len(self._cells) if self._cells is not None else 0
+                    self._feats[n0:n0 + k] = feats_new
+                self._n_host = n0 + k
+        n = self._n_host
         self.nb_indexed = n
         t = _pack_trace("host_merge", t)
         if n == 0:
@@ -552,9 +613,9 @@ class LOPQSearcherTPU(LOPQSearcherBase):
             # (Re)build: allocate capacity buffers prefilled with every row.
             self._cap = need_cap
             buf_c = np.full(self._cap, sentinel, np.int32)
-            buf_c[:n] = self._cells.astype(np.int32)
+            buf_c[:n] = self._cells[:n].astype(np.int32)
             buf_f = np.zeros((self._cap, M), np.uint8)
-            buf_f[:n] = self._fine
+            buf_f[:n] = self._fine[:n]
             self._buf_cells = jnp.asarray(buf_c)
             self._buf_fine = jnp.asarray(buf_f)
             chunk_c = np.full(self.CHUNK_QUANTUM, sentinel, np.int32)
@@ -625,7 +686,7 @@ class LOPQSearcherTPU(LOPQSearcherBase):
                     d_old["feats_sq"] = None
                     self._dev = d_old
                 fbuf = np.zeros((self._cap, Dr), np.float32)
-                fbuf[:len(self._feats)] = self._feats
+                fbuf[:n] = self._feats[:n]
                 self._buf_feats = jnp.asarray(fbuf, dtype=fdt)
             else:
                 k = n - offset
@@ -677,11 +738,16 @@ class LOPQSearcherTPU(LOPQSearcherBase):
 
     def _snapshot(self):
         """Pack if needed and return a consistent (dev, ids, cells, fine,
-        nb_indexed) view for one query, immune to concurrent refreshes."""
+        nb_indexed) view for one query, immune to concurrent refreshes:
+        the [:n] slices are views whose rows later appends never touch
+        (appends write past n; growth swaps in fresh base arrays)."""
         with self._mutlock:
             self._pack_locked()
-            return (self._dev, self._ids, self._cells, self._fine,
-                    self.nb_indexed)
+            n = self._n_host
+            if n == 0:
+                return self._dev, None, None, None, 0
+            return (self._dev, self._ids[:n], self._cells[:n],
+                    self._fine[:n], n)
 
     def get_cell(self, cell):
         """All (id, code) pairs of one cell (reference LMDB prefix-scan role,

@@ -115,10 +115,14 @@ class ShardedLOPQIndex:
         #: budget, bfloat16 beyond; appends are donated in-place.
         self.rerank_dtype = rerank_dtype
         self.nb_indexed = 0
-        self._ids = None          # [n] host object array, insertion order
-        self._cells_host = None   # [n] int64, insertion order (rebuilds)
-        self._fine_host = None    # [n, M] uint8
-        self._feats_host = None   # [n, D] f32 rerank features, or None
+        # Host mirror in CAPACITY-padded arrays, appended in place
+        # (see _host_reserve); rows past _n_host are uninitialized.
+        self._host_capn = 0
+        self._n_host = 0
+        self._ids = None          # [host_cap] object, insertion order
+        self._cells_host = None   # [host_cap] int64 (rebuilds)
+        self._fine_host = None    # [host_cap, M] uint8
+        self._feats_host = None   # [host_cap, D] f32 rerank, or None
         self._buf_cells = None    # device [n_dev, cap_per] int32
         self._buf_fine = None     # device [n_dev, cap_per, M] uint8
         self._buf_feats = None    # device [n_dev, cap_per, D] f32
@@ -219,27 +223,61 @@ class ShardedLOPQIndex:
             if len(feats) != k:
                 raise ValueError(
                     f"feats rows {len(feats)} != codes rows {k}")
-        if self._ids is None:
-            self._ids, self._cells_host, self._fine_host = (ids_arr, cells,
-                                                            fine)
-            self._feats_host = feats
-        else:
-            self._ids = np.concatenate([self._ids, ids_arr])
-            self._cells_host = np.concatenate([self._cells_host, cells])
-            self._fine_host = np.concatenate([self._fine_host, fine])
-            if feats is not None and self._feats_host is not None:
-                self._feats_host = np.concatenate([self._feats_host, feats])
-            else:
+        if feats is None or (self.nb_indexed and self._feats_host is None):
+            # One featureless append drops the store (see docstring).
+            if self._feats_host is not None:
                 self._feats_host = None
                 self._buf_feats = None
-        self._upload(prev_n=self.nb_indexed)
-        self.nb_indexed = len(self._ids)
+            feats = None
+        n0 = self.nb_indexed
+        self._host_reserve(n0 + k, fine.shape[1],
+                           feats.shape[1] if feats is not None else None)
+        self._ids[n0:n0 + k] = ids_arr
+        self._cells_host[n0:n0 + k] = cells
+        self._fine_host[n0:n0 + k] = fine
+        if feats is not None and self._feats_host is not None:
+            self._feats_host[n0:n0 + k] = feats
+        self._n_host = n0 + k
+        self._upload(prev_n=n0)
+        self.nb_indexed = self._n_host
+
+    def _host_reserve(self, n_target, M, D):
+        """Capacity-padded host mirror with in-place appends — same
+        page-fault economics as the single-chip searcher's mirror
+        (LOPQSearcherTPU._host_reserve): a per-append concatenate
+        rewrites the whole mirror and cost ~100 s per refresh at 10.5M
+        on the dev host. Growth allocates fresh arrays (stale snapshot
+        views stay consistent)."""
+        n = getattr(self, "_n_host", 0)
+        cap_needed = int(round_up(n_target + 2 * self.CHUNK_QUANTUM,
+                                  self.CHUNK_QUANTUM))
+        if self._ids is None:
+            self._host_capn = cap_needed
+            self._ids = np.empty(cap_needed, dtype=object)
+            self._cells_host = np.empty(cap_needed, np.int64)
+            self._fine_host = np.empty((cap_needed, M), np.uint8)
+            if D is not None:
+                self._feats_host = np.empty((cap_needed, D), np.float32)
+            self._n_host = 0
+            return
+        if n_target > self._host_capn:
+            for name in ("_ids", "_cells_host", "_fine_host",
+                         "_feats_host"):
+                a = getattr(self, name)
+                if a is None:
+                    continue
+                grown = np.empty((cap_needed,) + a.shape[1:], dtype=a.dtype)
+                grown[:n] = a[:n]
+                setattr(self, name, grown)
+            self._host_capn = cap_needed
 
     def build(self, coarse, fine, ids=None, feats=None):
         """Bulk (re)build: resets state then appends everything."""
         self.nb_indexed = 0
         self._ids = self._cells_host = self._fine_host = None
         self._feats_host = None
+        self._host_capn = 0
+        self._n_host = 0
         self._buf_cells = self._buf_fine = self._buf_feats = None
         self._cap_per = 0
         self._n_dev_rows = 0
@@ -248,7 +286,7 @@ class ShardedLOPQIndex:
     def _upload(self, prev_n):
         """Push rows [prev_n, n) into the device buffers and rebuild CSR."""
         V = self.model.V
-        n = len(self._ids)
+        n = self._n_host
         n_dev = self.mesh.devices.size
         M = self._fine_host.shape[1]
         sentinel = V * V
@@ -263,8 +301,8 @@ class ShardedLOPQIndex:
             buf_c = np.full((n_dev, self._cap_per), sentinel, np.int32)
             buf_f = np.zeros((n_dev, self._cap_per, M), np.uint8)
             shard_of, slot_of = self._deal(0, n, n_dev)
-            buf_c[shard_of, slot_of] = self._cells_host.astype(np.int32)
-            buf_f[shard_of, slot_of] = self._fine_host
+            buf_c[shard_of, slot_of] = self._cells_host[:n].astype(np.int32)
+            buf_f[shard_of, slot_of] = self._fine_host[:n]
             self._buf_cells = jax.device_put(buf_c, sh)
             self._buf_fine = jax.device_put(buf_f, sh)
             kq = self.CHUNK_QUANTUM
@@ -367,7 +405,7 @@ class ShardedLOPQIndex:
                 self._dev = d_old
             fbuf = np.zeros((n_dev, self._cap_per, D), np.float32)
             shard_of, slot_of = self._deal(0, n, n_dev)
-            fbuf[shard_of, slot_of] = self._feats_host
+            fbuf[shard_of, slot_of] = self._feats_host[:n]
             self._buf_feats = jax.device_put(fbuf.astype(fdt), sh)
             return
         k = n - prev_n
