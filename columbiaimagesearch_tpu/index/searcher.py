@@ -827,23 +827,29 @@ class LOPQSearcherTPU(LOPQSearcherBase):
                 self.probe_stats.get("brute_waves", 0) + 1)
         return unpack_query_out(packed[:k], K_emit)
 
-    @staticmethod
-    def _wave_cap(d, Q, V):
+    def _wave_cap(self, d, Q, V):
         """Rung-aware per-launch query cap (a function of the rung, for
         _chunk_waves). Per-query transients: ~4 KB per candidate slot
         (the one-hot ADC's [Q, F*S] bf16 contraction operand plus slot
         metadata) PLUS ~28 B per region cell on the strip rungs (the
         [NQ, G] grid/sort buffers — 40 MB/query at the 1.44M-cell top
-        rung). A resident rerank feature store claims its HBM FIRST
-        (11.8 GB at 10.5M x 256 f32; 5.9 at bf16) — the previous fixed
-        2M-slot budget OOMed the first rerank wave. Budget half of what
-        remains, and floor the cap to a wave bucket: pad_rows rounds
-        waves UP to the bucket set, so an off-bucket cap silently
-        reinflates (cap 87 -> bucket 128 -> 17.3 GB compile OOM, r04)."""
+        rung). EVERYTHING resident claims its HBM first: the rerank
+        feature store (11.8 GB at 10.5M x 256 f32), but also the code
+        buffers and model params — the snapshot's sorted view plus the
+        insertion-order buffers run ~4.4 GB at 100M, an order past the
+        fixed headroom's 10.5M assumption (the r05 100M B=64 wave OOM).
+        Budget half of what remains, and floor the cap to a wave bucket:
+        pad_rows rounds waves UP to the bucket set, so an off-bucket cap
+        silently reinflates (cap 87 -> bucket 128 -> 17.3 GB compile
+        OOM, r04)."""
+        seen = set()
         resident = 0
-        for key in ("feats", "feats_sq"):
-            a = d.get(key)
-            if a is not None:
+        buffers = list(d.values()) + [self._buf_cells, self._buf_fine,
+                                      self._buf_feats]
+        for a in buffers:
+            if (a is not None and hasattr(a, "shape")
+                    and hasattr(a, "dtype") and id(a) not in seen):
+                seen.add(id(a))
                 resident += int(np.prod(a.shape)) * a.dtype.itemsize
         return lambda rung: LOPQSearcherTPU._wave_cap_bytes(
             resident, Q, rung, V)
@@ -865,10 +871,33 @@ class LOPQSearcherTPU(LOPQSearcherBase):
         if rung is not None and V:
             per_q += rung_cells(rung, V) * 28
         cap = max(8, int(free / 2 / per_q))
-        # Floor to the bucket set (powers of two to 128, then x128).
+        return LOPQSearcherTPU._floor_wave_bucket(cap)
+
+    @staticmethod
+    def _floor_wave_bucket(cap):
+        """Floor to the wave-bucket set (powers of two to 128, then
+        x128): pad_rows rounds waves UP to a bucket, so an off-bucket
+        cap silently reinflates (cap 87 -> bucket 128, r04 OOM)."""
+        cap = max(8, int(cap))
         if cap < 128:
             return 1 << (cap.bit_length() - 1)
         return (cap // 128) * 128
+
+    #: Process-wide wave-cap divisor, doubled by _chunk_waves each time a
+    #: wave launch exhausts HBM. The _wave_cap estimate is a model, not
+    #: ground truth (XLA's actual peak varies with fusion decisions and
+    #: index scale — the 100M B=64 wave OOMed at an estimated-safe cap of
+    #: 64); the backoff makes any cap mis-estimate a one-time retry
+    #: instead of a failed query, and remembers the divisor so later
+    #: waves start at the size that fit.
+    _WAVE_OOM_SHRINK = 1
+
+    @staticmethod
+    def _is_device_oom(e):
+        msg = str(e)
+        return ("RESOURCE_EXHAUSTED" in msg or "Resource exhausted" in msg
+                or "Ran out of memory" in msg
+                or "Exceeded hbm capacity" in msg)
 
     @staticmethod
     def _chunk_waves(run_tier, nq_cap):
@@ -877,12 +906,24 @@ class LOPQSearcherTPU(LOPQSearcherBase):
         candidate budget Q (and the rung's region size), so NQ x Q is
         capped to bound HBM (a 128-query wave at quota=100k allocated
         tens of GB — r04 4M adversarial sweep OOM). ``nq_cap`` may be a
-        callable of the rung (rung-aware caps, see _wave_cap)."""
+        callable of the rung (rung-aware caps, see _wave_cap). A chunk
+        that still exhausts HBM halves the process-wide cap
+        (_WAVE_OOM_SHRINK) and retries at the smaller bucket."""
+        cls = LOPQSearcherTPU
+
         def wrapped(idx, rung):
             cap = nq_cap(rung) if callable(nq_cap) else nq_cap
+            cap = cls._floor_wave_bucket(
+                max(8, cap // cls._WAVE_OOM_SHRINK))
             if len(idx) <= cap:
-                return run_tier(idx, rung)
-            parts = [run_tier(idx[i:i + cap], rung)
+                try:
+                    return run_tier(idx, rung)
+                except Exception as e:
+                    if not cls._is_device_oom(e) or cap <= 8:
+                        raise
+                    cls._WAVE_OOM_SHRINK *= 2
+                    return wrapped(idx, rung)
+            parts = [wrapped(idx[i:i + cap], rung)
                      for i in range(0, len(idx), cap)]
             return tuple(np.concatenate([p[j] for p in parts])
                          for j in range(5))

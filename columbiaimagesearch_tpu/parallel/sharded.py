@@ -777,15 +777,24 @@ class ShardedLOPQIndex:
         # feats slice and runs its own [nq, Q_shard] rung transients).
         from columbiaimagesearch_tpu.index.searcher import LOPQSearcherTPU
 
-        f = d.get("feats")
+        # Per-shard resident bytes: every sharded buffer's single-shard
+        # extent (leading mesh axis = shard axis — shape math only, never
+        # slice the sharded array, that would launch a device gather).
+        # Counting only the feature store understated residency ~4x at
+        # large N (see LOPQSearcherTPU._wave_cap).
+        n_dev = self.mesh.devices.size
+        seen = set()
         per_shard_bytes = 0
-        if f is not None:
-            # Leading mesh axis = shard axis: one shard holds the
-            # [cap_per, D] extent (shape math only — never slice the
-            # sharded array, that would launch a device gather).
-            per_shard_bytes = (int(np.prod(f.shape[1:])) * f.dtype.itemsize
-                               if f.ndim == 3
-                               else int(np.prod(f.shape)) * f.dtype.itemsize)
+        for a in list(d.values()) + [self._buf_cells, self._buf_fine,
+                                     self._buf_feats]:
+            if (a is None or not hasattr(a, "shape")
+                    or not hasattr(a, "dtype") or id(a) in seen):
+                continue
+            seen.add(id(a))
+            nbytes = int(np.prod(a.shape)) * a.dtype.itemsize
+            if a.ndim >= 2 and a.shape[0] == n_dev:
+                nbytes //= n_dev
+            per_shard_bytes += nbytes
         (rows_b, dists_b, ncells_b, frac_short, settle,
          yield_obs, settled) = escalate_probe(
             LOPQSearcherTPU._chunk_waves(

@@ -150,3 +150,39 @@ def test_feats_mirror_in_place_append_rerank_parity():
     exact = ((X - q[None]) ** 2).sum(1)
     want = set(np.argsort(exact, kind="stable")[:5].tolist())
     assert {r.id for r in res} == want
+
+
+def test_chunk_waves_oom_backoff(monkeypatch):
+    """A wave chunk that exhausts HBM halves the process-wide cap and
+    retries at the smaller bucket instead of failing the query (the r05
+    100M B=64 wave OOMed at an estimated-safe cap)."""
+    monkeypatch.setattr(LOPQSearcherTPU, "_WAVE_OOM_SHRINK", 1)
+    calls = []
+
+    def run_tier(idx, rung):
+        calls.append(len(idx))
+        if len(idx) > 16:
+            raise RuntimeError("RESOURCE_EXHAUSTED: TPU backend error")
+        k = len(idx)
+        return tuple(np.full(k, i) for i in range(5))
+
+    wrapped = LOPQSearcherTPU._chunk_waves(run_tier, 64)
+    out = wrapped(list(range(64)), rung=0)
+    assert all(len(o) == 64 for o in out)
+    # First attempt at 64 OOMs, 2x32 OOM, then 4x16 succeed.
+    assert calls[0] == 64
+    assert LOPQSearcherTPU._WAVE_OOM_SHRINK == 4
+    assert calls[-1] == 16
+    # The learned shrink persists for the next wave: straight to 16s.
+    calls.clear()
+    out = wrapped(list(range(32)), rung=0)
+    assert all(len(o) == 32 for o in out)
+    assert calls == [16, 16]
+    # A non-OOM error still propagates.
+    def boom(idx, rung):
+        raise ValueError("not an oom")
+    try:
+        LOPQSearcherTPU._chunk_waves(boom, 64)(list(range(8)), rung=0)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
