@@ -6,7 +6,12 @@ renders both train and eval faces with the same generator
 (models/face_synth.py); this script answers "does the template fire on
 photographic faces and stay quiet on photographic non-face content?"
 with the only real imagery available on this zero-egress box: the
-bundled portrait (tests/data/grace_hopper.jpg, never in training).
+bundled portrait (tests/data/grace_hopper.jpg). NOTE the default shipped
+template trains on this portrait's crops (train_face_template.py adds the
+bundled annotations unless --synth-only), so with the default template
+this measures the training-identity operating point; pass
+``--template <synth-only .npz>`` for the held-out-identity number — both
+are committed as benchmarks/ artifacts.
 
 Scenes are built entirely from the photograph:
 - positives: the real face region pasted (feather-blended) at varied
@@ -189,9 +194,16 @@ def main():
             "n_faces": n_gt,
             "neg_only_scenes": args.neg_scenes,
             "identities": 1,
-            "source": "tests/data/grace_hopper.jpg (never in training); "
-                      "positives pasted at 50-160 px with rotation and "
-                      "0-25% occlusion on real non-face mosaics",
+            # Honesty note: the DEFAULT shipped template trains on this
+            # portrait's crops too (train_face_template.py synth mode,
+            # portrait_boost) — only a --synth-only template makes this a
+            # held-out-identity measurement. Record which one this is.
+            "template": args.template or ("shipped default (this "
+                                          "portrait's crops ARE in its "
+                                          "training set)"),
+            "source": "tests/data/grace_hopper.jpg; positives pasted at "
+                      "50-160 px with rotation and 0-25% occlusion on "
+                      "real non-face mosaics",
             "operating_point": {"threshold": det.threshold,
                                 "precision": round(op_p, 4),
                                 "recall": round(op_r, 4)},
