@@ -973,8 +973,18 @@ class LOPQSearcherTPU(LOPQSearcherBase):
                 new_hint = self._tier_hint
             if start == floor:
                 self._tier_hint = new_hint   # full ladder view: may decay
-            else:
+            elif settle > 0:
+                # The wave ESCALATED past its start: genuine evidence the
+                # hint belongs at least at the settle rung.
                 self._tier_hint = max(self._tier_hint, new_hint)
+            # else: satisfied AT its start rung — that is no evidence the
+            # ladder NEEDS to start that wide (a narrower rung was never
+            # tried). Leave the hint alone, or a re-probe wave's decay
+            # can never stick under concurrency: waves launched before
+            # the decay finish at the old wide rung and re-pinned it via
+            # the max() — the r05 realfeat no-rerank run served 100+
+            # waves at the 110 ms top rung while every re-probe settled
+            # two rungs lower (510 ms p50 vs ~190 expected).
             if yield_obs is not None:
                 self._yield_ema = (yield_obs if self._yield_ema is None
                                    else 0.7 * self._yield_ema
@@ -1231,6 +1241,83 @@ class LOPQSearcherTPU(LOPQSearcherBase):
              int(ncells_b[i]))
             for i in range(nq)
         ]
+
+    def prewarm_ladder(self, quota=10, limit=None, rerank_nb=None,
+                       waves=(1,)):
+        """Force-compile EVERY ladder rung program of the fused serving
+        path (plus the brute plan when the store is resident) for the
+        given query geometry, at each wave bucket in ``waves``.
+
+        ``GenericSearcher.prewarm_serving``'s synthetic request only
+        compiles the rungs its OWN escalation path visits: the rung
+        floor provably skips hopeless narrow rungs for that query, and
+        the settle hint starts later waves wherever IT settled — so a
+        live query that settles on a skipped rung paid a mid-request
+        relay compile (~10 s from a warm compile cache, 30-300 s cold:
+        the 10.5 s serving p99 outliers, r5). Zero-vector queries drive
+        each rung directly; results are discarded and neither the yield
+        EMA nor the tier hint is touched.
+
+        :returns: number of rung programs driven."""
+        import jax.numpy as jnp
+
+        from columbiaimagesearch_tpu.index.tpu_query import (
+            fused_feat_query,
+            rung_parts,
+            unpack_query_out,
+        )
+        from columbiaimagesearch_tpu.utils.chunking import (
+            pad_rows,
+            wave_bucket,
+        )
+
+        d, _ids, _cells, _fine, nb = self._snapshot()
+        if nb == 0:
+            return 0
+        V = self.model.V
+        renorm = bool(getattr(self.model, "renorm", False))
+        if rerank_nb and d.get("feats") is None:
+            rerank_nb = None
+        _K, Q, K_stage, R, K_emit = _query_geometry(quota, limit, nb,
+                                                    rerank_nb)
+        feat_dim = (d["pca_P"].shape[0] if d.get("pca_P") is not None
+                    else d["Cs"].shape[0] * d["Cs"].shape[2])
+        n_progs = 0
+        for w in sorted({wave_bucket(max(1, int(b))) for b in waves}):
+            X = jnp.zeros((w, feat_dim), jnp.float32)
+
+            def run_tier(idx, rung):
+                # Same launch as _search_device_feats_impl.run_tier (the
+                # jit key must match live traffic exactly).
+                B, SB = rung_parts(rung)
+                Xt = X if len(idx) == w else jnp.take(
+                    X, jnp.asarray(idx), axis=0)
+                Xw, k = pad_rows(Xt, wave_bucket(len(idx)))
+                packed = np.asarray(fused_feat_query(
+                    Xw, d.get("pca_P"), d.get("pca_mu"),
+                    d["Cs"], d["Rs"], d["mus"], d["subs"],
+                    d["codes"], d.get("cell_start"), d["order"],
+                    jnp.asarray(quota, dtype=jnp.int32), d.get("feats"),
+                    d["cells_sorted"] if d.get("cell_start") is None
+                    else None,
+                    V=V, B=B, Q=Q, K=K_stage, R=R, K_out=K_emit,
+                    renorm=renorm, SB=SB, lut_impl="stream"))
+                return unpack_query_out(packed[:k], K_emit)
+
+            # Through _chunk_waves: the rung-aware cap and the OOM
+            # backoff apply exactly as they would under live traffic, so
+            # the buckets compiled here are the buckets live waves use.
+            wrapped = self._chunk_waves(run_tier,
+                                        self._wave_cap(d, Q, V))
+            for rung in self._probe_ladder():
+                wrapped(np.arange(w), rung)
+                n_progs += 1
+            if R:
+                Xp, _ = pad_rows(X, w)
+                self._run_brute(Xp, d, nb, R, K_emit, n_valid=w,
+                                fused=True, renorm=renorm)
+                n_progs += 1
+        return n_progs
 
     def search(self, x, quota=10, limit=None, with_dists=False,
                rerank_nb=None):

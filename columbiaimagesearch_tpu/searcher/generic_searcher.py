@@ -293,6 +293,26 @@ class GenericSearcher:
                 for out in outs:
                     if isinstance(out, Exception):
                         raise out
+        # The synthetic request only compiled the rungs ITS escalation
+        # path visited: the rung floor skips provably-hopeless narrow
+        # rungs for that (out-of-distribution) query, so a live query
+        # that settles on a skipped rung would pay a mid-request relay
+        # compile (the 10.5 s serving p99 outliers, r5). Force-compile
+        # the WHOLE ladder at the serving geometry.
+        backend = getattr(self, "searcher", None)
+        if (hasattr(backend, "prewarm_ladder")
+                and hasattr(self, "_query_params")
+                and self._use_device_feats(opts)):
+            (quota, max_ret, reranking, rerank_nb,
+             _nd, _ndt) = self._query_params(opts)
+            device_rerank = bool(
+                reranking and getattr(backend, "has_rerank_feats", False))
+            limit = (max_ret if (not reranking or device_rerank)
+                     else max(max_ret, rerank_nb))
+            backend.prewarm_ladder(
+                quota=quota, limit=limit,
+                rerank_nb=rerank_nb if device_rerank else None,
+                waves=sizes)
         return sorted({wave_bucket(n) for n in sizes})
 
     def _serve_batch(self, requests):

@@ -204,3 +204,59 @@ def test_probe_stats_observability(hard_setup):
     # hard_setup places every row outside the B=64 grid, so both queries
     # of the wave MUST count as escalated.
     assert s.probe_stats["escalated_queries"] == 2
+
+
+def test_hint_decay_sticks_against_stale_wide_wave(hard_setup, monkeypatch):
+    """A wave satisfied AT its start rung is no evidence that rung is
+    needed — it must not raise the tier hint. Regression for the r05
+    realfeat serving pin: under concurrent clients, waves launched
+    before a re-probe decay finished at the old wide rung and re-pinned
+    the hint via max(), so the decay never stuck and 100+ waves paid the
+    110 ms top rung (510 ms p50 vs ~190 expected)."""
+    import threading
+
+    import columbiaimagesearch_tpu.index.tpu_query as tq
+    from columbiaimagesearch_tpu.index.searcher import LOPQSearcherTPU
+
+    model, _params, _q, coarse, fine, ids = hard_setup
+    s = LOPQSearcherTPU(model)
+    s.add_codes((coarse, fine), ids)
+    s._pack_locked()
+    ladder = s._probe_ladder()
+    top = len(ladder) - 1
+    assert top >= 1
+
+    wide_entered = threading.Event()
+    release_wide = threading.Event()
+
+    def fake_escalate(run_tier, ladder_tail, n, quota, nb, K_pad):
+        rows = np.zeros((n, 1), np.int32)
+        dists = np.zeros((n, 1), np.float32)
+        nc = np.zeros(n, np.int32)
+        if len(ladder_tail) == len(ladder) - top:  # the stale wide wave
+            wide_entered.set()
+            assert release_wide.wait(10)
+        # Satisfied at the start rung: settle=0, settled=True.
+        return rows, dists, nc, 0.0, 0, 5.0, True
+
+    monkeypatch.setattr(tq, "escalate_probe", fake_escalate)
+    monkeypatch.setattr(tq, "rung_floor", lambda *a, **k: 0)
+
+    s._tier_hint = top          # imprinted wide (e.g. a cold OOD wave)
+    s.REPROBE_EVERY = 10**9     # the wide wave must not be the re-probe
+
+    t = threading.Thread(target=lambda: s._escalate(
+        lambda idx, rung: None, 1, 50, s.nb_indexed, 1))
+    t.start()
+    assert wide_entered.wait(10)    # captured start=top, now in flight
+
+    # A re-probe wave from the floor settles at rung 0 -> decay.
+    s._wave_i = -1                  # next wave hits the re-probe branch
+    s.REPROBE_EVERY = 1
+    s._escalate(lambda idx, rung: None, 1, 50, s.nb_indexed, 1)
+    assert s._tier_hint == 0
+
+    release_wide.set()
+    t.join(10)
+    # The stale wide wave (satisfied at ITS start) must not re-pin.
+    assert s._tier_hint == 0
