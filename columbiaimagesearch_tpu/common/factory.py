@@ -88,6 +88,14 @@ def build_searcher(conf, prefix="SEARCHLOPQ_", indexer=None, storer=None):
         # makes `reranking: true` (the reference release config) run fused
         # on device instead of detouring through the indexer.
         store_rerank_feats=bool(r.get_param("store_rerank_feats", False)),
+        # "auto" (default) serves exact float32 while the store fits the
+        # HBM budget; "bfloat16" halves HBM and roughly halves the fused
+        # rerank's gather time (measured 3.29 vs 6.08 ms e2e p50 at
+        # 10.5M x 256) at ~1e-3 relative distance error.
+        rerank_dtype=r.get_param("rerank_dtype", "auto"),
+        # Expected index size (rows): pre-sizes device buffers so
+        # production refreshes never pay a capacity-growth recompile.
+        capacity_hint=int(r.get_param("capacity_hint", 0)),
         # Cross-request micro-batching window (ms); None/absent = off
         # (api/microbatch.py).
         coalesce_window_ms=(

@@ -33,13 +33,22 @@ class SearcherLOPQ(GenericSearcher):
                  nb_min_train=1000, nb_train_pca=50000, model=None,
                  train_at_init=False, probe_width=None, sharded=False,
                  exact=False, codestore_path=None, store_rerank_feats=False,
-                 **kwargs):
+                 rerank_dtype="auto", capacity_hint=0, **kwargs):
         self.sharded = sharded
         self.exact = exact
         #: keep index-space features HBM-resident at indexing time so
         #: reranking runs fused on device (reference production config
         #: serves with reranking on, conf_search_sbpycaffe_release.json:16)
         self.store_rerank_feats = store_rerank_feats
+        #: rerank-store dtype policy ("auto" | "float32" | "bfloat16"):
+        #: float32 is exact; bfloat16 halves HBM and measured ~2x faster
+        #: rerank gathers at 10.5M x 256 (3.29 ms vs 6.08 ms e2e p50, r4/
+        #: r5 artifacts) at ~1e-3 relative distance error. "auto" picks
+        #: float32 while one store copy fits the HBM budget.
+        self.rerank_dtype = rerank_dtype
+        #: expected index size; pre-sizes device buffers so production
+        #: refreshes never pay a capacity-growth recompile.
+        self.capacity_hint = int(capacity_hint)
         self.codestore_path = codestore_path
         self.model_type = model_type
         self.V = V
@@ -116,11 +125,14 @@ class SearcherLOPQ(GenericSearcher):
             )
 
             self.searcher = ShardedLOPQSearcher(
-                self.model, probe_width=self.probe_width)
+                self.model, probe_width=self.probe_width,
+                rerank_dtype=self.rerank_dtype)
         else:
             self.searcher = LOPQSearcherTPU(
                 self.model, probe_width=self.probe_width,
-                codestore_path=self.codestore_path)
+                codestore_path=self.codestore_path,
+                rerank_dtype=self.rerank_dtype,
+                capacity_hint=self.capacity_hint)
 
     def get_train_features(self, nb_features, start_date=START_DATE):
         """Harvest features from the indexer's updates
