@@ -218,6 +218,13 @@ def bench_searcher(args):
         model, coarse, fine, feats, make, key = setup_serving_index(
             args, t0)
     else:
+        if getattr(args, "realfeat", False):
+            # setup_index has no realfeat corpus: emitting a
+            # "..._realfeat" metric over the synthetic mixture would be
+            # a mislabeled artifact.
+            raise SystemExit(
+                "--mode searcher --realfeat requires --rerank (the "
+                "realfeat corpus is built by the serving setup)")
         model, _, coarse_dev, fine_dev, make, key = setup_index(args, t0)
         coarse = np.asarray(coarse_dev)
         fine = np.asarray(fine_dev)

@@ -114,6 +114,27 @@ class GenericExtractor:
         outs = [self.init_out_dict() for _ in img_buffers]
         any_pixels = any(isinstance(b, _np.ndarray) for b in img_buffers)
 
+        if (self.detector is None and any_pixels
+                and not all(isinstance(b, _np.ndarray)
+                            for b in img_buffers)
+                and hasattr(self.featurizer, "featurize_buffers")):
+            # Mixed batch: one pre-decoded array must not kick every
+            # encoded buffer off the batched native decode path (a
+            # 1-core host decodes ~4x slower through per-image PIL).
+            # Split by input kind, process each sub-batch on its own
+            # fast path, merge back in order.
+            pix = [i for i, b in enumerate(img_buffers)
+                   if isinstance(b, _np.ndarray)]
+            enc = [i for i, b in enumerate(img_buffers)
+                   if not isinstance(b, _np.ndarray)]
+            enc_out = self.process_batch([img_buffers[i] for i in enc])
+            pix_out = self.process_batch([img_buffers[i] for i in pix])
+            for j, i in enumerate(enc):
+                outs[i] = enc_out[j]
+            for j, i in enumerate(pix):
+                outs[i] = pix_out[j]
+            return outs
+
         # Fast path: full-image featurizers that take encoded buffers go
         # straight through the native decode pipeline.
         if (self.detector is None and not any_pixels

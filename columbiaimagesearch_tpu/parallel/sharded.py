@@ -103,12 +103,17 @@ class ShardedLOPQIndex:
     CHUNK_QUANTUM = 1024
 
     def __init__(self, model, mesh=None, probe_width=None,
-                 rerank_dtype="auto"):
+                 rerank_dtype="auto", capacity_hint=0):
         self.model = model
         self.mesh = mesh if mesh is not None else make_mesh(axis=SHARD_AXIS)
         if self.mesh.axis_names[0] != SHARD_AXIS:
             raise ValueError(f"index mesh axis must be '{SHARD_AXIS}'")
         self.probe_width = probe_width
+        #: expected index size (global rows): pre-sizes host mirror AND
+        #: per-shard device buffers so production refreshes never pay a
+        #: capacity-growth realloc/recompile (single-chip parity:
+        #: LOPQSearcherTPU.capacity_hint).
+        self.capacity_hint = int(capacity_hint)
         #: per-shard rerank-store dtype policy — same plan as the
         #: single-chip store (LOPQSearcherTPU._plan_rerank_dtype): "auto"
         #: keeps float32 while ONE [cap_per, D] copy fits the per-chip
@@ -135,6 +140,12 @@ class ShardedLOPQIndex:
         #: serving observability (see LOPQSearcherTPU.probe_stats)
         self.probe_stats = {"waves": 0, "escalated_queries": 0}
         self._stats_lock = _threading.Lock()
+        # Serializes uploads against query snapshot reads: the one retry
+        # in search_batch must block until an in-flight donating upload
+        # swaps self._dev, or it re-reads the SAME stale dict and the
+        # second failure propagates to the client (single-chip parity:
+        # _snapshot blocks on _mutlock until the pack finishes).
+        self._swaplock = _threading.RLock()
         self._tier_hint = 0       # probe-ladder start rung (hysteresis,
         self._wave_i = 0          # same policy as LOPQSearcherTPU)
         self._yield_ema = None    # candidates-per-cell EMA (rung floor)
@@ -241,6 +252,17 @@ class ShardedLOPQIndex:
         self._upload(prev_n=n0)
         self.nb_indexed = self._n_host
 
+    def _plan_capacity(self, n):
+        """Global-row capacity for ``n`` occupied rows — the single-chip
+        policy (LOPQSearcherTPU._plan_capacity): a size-scaled quantum
+        (1M rows past 1M, else 16k) so sizeable indexes do NOT grow on
+        every refresh, plus ``capacity_hint`` to size once up front.
+        Shared by the host mirror and the per-shard device buffers so
+        both grow on the same (expensive) refresh."""
+        quantum = (1 << 20) if n >= (1 << 20) else 16384
+        return int(round_up(max(n + self.CHUNK_QUANTUM,
+                                self.capacity_hint), quantum))
+
     def _host_reserve(self, n_target, M, D):
         """Capacity-padded host mirror with in-place appends — same
         page-fault economics as the single-chip searcher's mirror
@@ -249,8 +271,7 @@ class ShardedLOPQIndex:
         on the dev host. Growth allocates fresh arrays (stale snapshot
         views stay consistent)."""
         n = getattr(self, "_n_host", 0)
-        cap_needed = int(round_up(n_target + 2 * self.CHUNK_QUANTUM,
-                                  self.CHUNK_QUANTUM))
+        cap_needed = self._plan_capacity(n_target)
         if self._ids is None:
             self._host_capn = cap_needed
             self._ids = np.empty(cap_needed, dtype=object)
@@ -284,7 +305,14 @@ class ShardedLOPQIndex:
         self.append(coarse, fine, ids, feats=feats)
 
     def _upload(self, prev_n):
-        """Push rows [prev_n, n) into the device buffers and rebuild CSR."""
+        """Push rows [prev_n, n) into the device buffers and rebuild CSR.
+        Holds the swap lock for the whole mutation: queries snapshot
+        under the same lock, so a retry after a donation race blocks
+        here until the post-swap dict is visible."""
+        with self._swaplock:
+            self._upload_locked(prev_n)
+
+    def _upload_locked(self, prev_n):
         V = self.model.V
         n = self._n_host
         n_dev = self.mesh.devices.size
@@ -293,7 +321,11 @@ class ShardedLOPQIndex:
         sh = NamedSharding(self.mesh, P(SHARD_AXIS))
         self._ensure_model_dev()
 
-        need_per = round_up(n // n_dev + 2 * self.CHUNK_QUANTUM,
+        # Per-shard slice of the shared capacity plan: growth only on a
+        # plan change (size-scaled quantum + capacity_hint), never per
+        # sizeable append — a [cap_per] change re-uploads every buffer
+        # and recompiles every rung program.
+        need_per = round_up(-(-self._plan_capacity(n) // n_dev),
                             self.CHUNK_QUANTUM)
         if self._buf_cells is None or need_per > self._cap_per:
             # (Re)allocate capacity buffers prefilled with every row.
@@ -701,7 +733,14 @@ class ShardedLOPQIndex:
         from columbiaimagesearch_tpu.index.searcher import _query_geometry
 
         V = self.model.V
-        if rerank_nb and self._dev.get("feats") is None:
+        with self._swaplock:
+            # Snapshot under the swap lock: blocks while a donating
+            # upload is mid-flight, so the one retry in search_batch is
+            # guaranteed to see the POST-swap dict (single-chip parity:
+            # _snapshot blocks on _mutlock until the pack finishes).
+            d = self._dev
+            ids_snap = self._ids
+        if rerank_nb and d.get("feats") is None:
             raise ValueError(
                 "rerank_nb requires a resident feature store "
                 "(append(..., feats=...) for every append)")
@@ -712,9 +751,6 @@ class ShardedLOPQIndex:
                       round_up(max(self._cap_per, 256), 256))
         K, Q, K_stage, R, K_emit = _query_geometry(
             quota, limit, max(nb, 1), rerank_nb, Q=Q_shard)
-
-        d = self._dev          # snapshot (swapped atomically on refresh)
-        ids_snap = self._ids
 
         if self._use_brute(d, nq, quota, nb, R):
             from columbiaimagesearch_tpu.utils.chunking import pad_rows
@@ -854,11 +890,12 @@ class ShardedLOPQSearcher:
     """
 
     def __init__(self, model, mesh=None, probe_width=None,
-                 rerank_dtype="auto"):
+                 rerank_dtype="auto", capacity_hint=0):
         self.model = model
         self.index = ShardedLOPQIndex(model, mesh=mesh,
                                       probe_width=probe_width,
-                                      rerank_dtype=rerank_dtype)
+                                      rerank_dtype=rerank_dtype,
+                                      capacity_hint=capacity_hint)
         import threading
 
         from columbiaimagesearch_tpu.utils.codes import IncrementalDedup

@@ -94,14 +94,20 @@ class CDRIngester:
 
     def _retry(self, what, fn):
         """Retry a flaky ES call forever with the reference's fixed pause
-        (kafka_cdr_ingester.py:73-86,97-111)."""
+        (kafka_cdr_ingester.py:73-86,97-111). Programming errors
+        (TypeError/AttributeError/NameError — e.g. a client API mismatch,
+        not a flaky cluster) surface immediately instead of becoming a
+        silent infinite loop; transient errors always log, so a stalled
+        bridge is diagnosable at verbose=0."""
         while True:
             try:
                 return fn()
+            except (TypeError, AttributeError, NameError):
+                raise
             except Exception as err:  # noqa: BLE001 — ES client errors vary
-                if self.verbose > 0:
-                    print("[%s: log] ElasticSearch error during %s: %s"
-                          % (self.pp, what, err))
+                print("[%s: log] ElasticSearch error during %s "
+                      "(retrying in %ss): %s"
+                      % (self.pp, what, RETRY_SLEEP_S, err))
                 self._sleep(RETRY_SLEEP_S)
 
     def get_batch(self, team="HG"):

@@ -126,7 +126,8 @@ class SearcherLOPQ(GenericSearcher):
 
             self.searcher = ShardedLOPQSearcher(
                 self.model, probe_width=self.probe_width,
-                rerank_dtype=self.rerank_dtype)
+                rerank_dtype=self.rerank_dtype,
+                capacity_hint=self.capacity_hint)
         else:
             self.searcher = LOPQSearcherTPU(
                 self.model, probe_width=self.probe_width,

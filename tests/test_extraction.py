@@ -219,3 +219,34 @@ def test_dct_scaled_decode_feature_drift():
     assert cos > 0.999, cos
     # norm drift within 1% (the reference compares norm deltas)
     assert abs(na - nb) / nb < 0.01, (na, nb)
+
+
+def test_extractor_mixed_batch_keeps_fast_path():
+    """A pre-decoded pixel array in a mixed batch must not kick the
+    encoded buffers off the batched native decode path (regression for
+    the r5 review finding: any_pixels disabled featurize_buffers for the
+    whole batch, a 1-core throughput cliff)."""
+    rng = np.random.RandomState(7)
+    buf, _ = png_buffer(rng, 120, 90)
+    raw = buf.getvalue()
+    pixels = rng.randint(0, 255, (90, 120, 3), dtype=np.uint8)
+
+    ex = GenericExtractor("full", "sentibank")
+    calls = {"bufs": 0}
+    orig = ex.featurizer.featurize_buffers
+
+    def spy(raws):
+        calls["bufs"] += len(raws)
+        return orig(raws)
+
+    ex.featurizer.featurize_buffers = spy
+    try:
+        outs = ex.process_batch([io.BytesIO(raw), pixels, io.BytesIO(raw)])
+    finally:
+        del ex.featurizer.featurize_buffers
+    key = "ext:sentibank_feat_full_image"
+    assert all(o[key + "_processed"] == "1" for o in outs)
+    assert calls["bufs"] == 2  # both encoded buffers stayed on the path
+    # The pixel input produced a real feature through the same columns.
+    f_pix = featB64decode(outs[1][key], "sentibank")
+    assert f_pix.shape == (4096,)

@@ -167,3 +167,77 @@ def test_sharded_brute_after_append(monkeypatch):
     out = idx.search_batch(X[[250]], quota=300, limit=3, rerank_nb=32)
     pairs, _ = out[0]
     assert pairs[0][0] == "a250" and pairs[0][1] < 1e-3
+
+
+def test_sharded_retry_blocks_on_inflight_upload():
+    """The one stale-snapshot retry must see the POST-swap device dict:
+    _search_batch_impl snapshots under the swap lock, which a donating
+    upload holds for its whole mutation. Regression for the r5 review
+    finding (unsynchronized retry could re-read the same stale dict)."""
+    import threading
+    import time as _time
+
+    from tests.oracle_lopq import random_params
+
+    from columbiaimagesearch_tpu.index.model import LOPQModel
+    from columbiaimagesearch_tpu.parallel.sharded import ShardedLOPQIndex
+
+    rs = np.random.RandomState(5)
+    model = LOPQModel(parameters=random_params(rs, V=8, M=4, S=16, D=32))
+    X = rs.randn(400, 32).astype(np.float32)
+    coarse, fine = model.predict_batch(X)
+    idx = ShardedLOPQIndex(model)
+    idx.build(np.asarray(coarse, np.int32).reshape(-1, 2),
+              np.asarray(fine, np.int32), feats=X)
+    idx.search_batch(X[:2], quota=50, limit=3)  # compile once
+
+    got = {}
+
+    def query():
+        got["out"] = idx.search_batch(X[:2], quota=50, limit=3)
+        got["t"] = _time.perf_counter()
+
+    # Hold the swap lock as an in-flight upload would; the query must
+    # block until release instead of racing a half-swapped state.
+    with idx._swaplock:
+        t = threading.Thread(target=query)
+        t.start()
+        _time.sleep(0.3)
+        assert "out" not in got, "query must block on the swap lock"
+        released = _time.perf_counter()
+    t.join(10)
+    assert got["t"] >= released
+    assert len(got["out"]) == 2 and len(got["out"][0][0]) == 3
+
+
+def test_sharded_capacity_plan_amortizes_appends():
+    """An 8k-row append on a sizeable index must not grow the host
+    mirror or the per-shard device buffers: both follow the shared
+    size-scaled capacity plan (+ capacity_hint), so refreshes never pay
+    a full realloc/rewrite (the ~100 s/refresh class of r04)."""
+    from tests.oracle_lopq import random_params
+
+    from columbiaimagesearch_tpu.index.model import LOPQModel
+    from columbiaimagesearch_tpu.parallel.sharded import ShardedLOPQIndex
+
+    rs = np.random.RandomState(6)
+    model = LOPQModel(parameters=random_params(rs, V=8, M=4, S=16, D=32))
+    idx = ShardedLOPQIndex(model, capacity_hint=200_000)
+
+    X = rs.randn(4096, 32).astype(np.float32)
+    coarse, fine = model.predict_batch(X)
+    idx.build(np.asarray(coarse, np.int32).reshape(-1, 2),
+              np.asarray(fine, np.int32), feats=X)
+    cap_host0, cap_per0 = idx._host_capn, idx._cap_per
+    assert cap_host0 >= 200_000  # hint honored
+
+    base_c, base_f = idx._cells_host, idx._feats_host
+    for _ in range(3):
+        Y = rs.randn(8192, 32).astype(np.float32)
+        c2, f2 = model.predict_batch(Y)
+        idx.append(np.asarray(c2, np.int32).reshape(-1, 2),
+                   np.asarray(f2, np.int32), feats=Y)
+    assert idx._host_capn == cap_host0
+    assert idx._cap_per == cap_per0
+    assert idx._cells_host is base_c      # in-place, no realloc
+    assert idx._feats_host is base_f
