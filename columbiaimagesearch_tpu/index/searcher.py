@@ -392,6 +392,8 @@ class LOPQSearcherTPU(LOPQSearcherBase):
         self._mutlock = threading.RLock()
         self._tier_hint = 0  # probe-ladder start rung (see _escalate)
         self._wave_i = 0
+        self._brute_i = 0          # hint-driven brute waves (see _use_brute)
+        self._force_reprobe = False
         #: EMA of candidates-per-visited-cell at real quota crossings;
         #: None until the first satisfied wave (rung_floor then falls
         #: back to the uniform-occupancy prior nb/V^2).
@@ -794,7 +796,27 @@ class LOPQSearcherTPU(LOPQSearcherBase):
         with self._mutlock:
             floor = rung_floor(ladder, quota, nb, self.model.V,
                                self._yield_ema)
-        return prefer_brute(ladder[floor:], nq, nb, self.model.V)
+            # Cost the rung the wave will ACTUALLY start at, not the
+            # optimistic floor: when escalation evidence has pinned the
+            # tier hint to a wide rung (its cert/quota genuinely needs
+            # it), the floor under-costs the ladder and the plan keeps
+            # paying ~110 ms top-rung waves where one exact brute pass
+            # is ~15 ms/query (r05 realfeat-10M artifact: 124 waves all
+            # settled at the top rung, 1 brute).
+            start = max(floor, self._tier_hint)
+            if start > floor and prefer_brute(ladder[start:], nq, nb,
+                                              self.model.V):
+                # Brute waves bypass the ladder, so the hint/yield EMA
+                # would freeze and the plan could never flip back. Every
+                # REPROBE_EVERY-th hint-driven brute wave runs the
+                # ladder from the FLOOR instead (same cadence as the
+                # escalation re-probe), letting the hint decay honestly.
+                self._brute_i += 1
+                if self._brute_i % self.REPROBE_EVERY == 0:
+                    self._force_reprobe = True
+                    return False
+                return True
+        return prefer_brute(ladder[start:], nq, nb, self.model.V)
 
     def _run_brute(self, X_dev, d, nb, R, K_emit, n_valid=None,
                    fused=False, renorm=False, count_stats=True):
@@ -951,8 +973,10 @@ class LOPQSearcherTPU(LOPQSearcherBase):
                                self._yield_ema)
             start = min(max(self._tier_hint, floor), len(ladder) - 1)
             self._wave_i += 1
-            if start > floor and self._wave_i % self.REPROBE_EVERY == 0:
+            if start > floor and (self._wave_i % self.REPROBE_EVERY == 0
+                                  or self._force_reprobe):
                 start = floor
+            self._force_reprobe = False
         (rows, dists, ncells, frac_short, settle, yield_obs,
          settled) = escalate_probe(
             run_tier, ladder[start:], n, quota, nb, K_pad)

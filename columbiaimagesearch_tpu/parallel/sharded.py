@@ -149,6 +149,8 @@ class ShardedLOPQIndex:
         self._tier_hint = 0       # probe-ladder start rung (hysteresis,
         self._wave_i = 0          # same policy as LOPQSearcherTPU)
         self._yield_ema = None    # candidates-per-cell EMA (rung floor)
+        self._brute_i = 0         # hint-driven brute waves (_use_brute)
+        self._force_reprobe = False
 
     @property
     def has_rerank_feats(self):
@@ -674,9 +676,22 @@ class ShardedLOPQIndex:
         with self._stats_lock:
             floor = rung_floor(ladder, quota, nb, self.model.V,
                                self._yield_ema)
-        n_dev = self.mesh.devices.size
-        nb_shard = (nb + n_dev - 1) // n_dev
-        return prefer_brute(ladder[floor:], nq, nb_shard, self.model.V)
+            # Cost the ACTUAL start rung (see LOPQSearcherTPU._use_brute:
+            # a pinned-wide tier hint means the floor under-costs the
+            # ladder side).
+            start = max(floor, self._tier_hint)
+            n_dev = self.mesh.devices.size
+            nb_shard = (nb + n_dev - 1) // n_dev
+            if start > floor and prefer_brute(ladder[start:], nq, nb_shard,
+                                              self.model.V):
+                # Keep hint/EMA dynamics alive under a brute takeover
+                # (see LOPQSearcherTPU._use_brute).
+                self._brute_i += 1
+                if self._brute_i % self.REPROBE_EVERY == 0:
+                    self._force_reprobe = True
+                    return False
+                return True
+        return prefer_brute(ladder[start:], nq, nb_shard, self.model.V)
 
     def _feats_sq_dev(self, d):
         """Per-shard row norms^2 of the resident feature store, computed
@@ -806,8 +821,10 @@ class ShardedLOPQIndex:
             floor = rung_floor(full_ladder, quota, nb, V, self._yield_ema)
             start = min(max(self._tier_hint, floor), len(full_ladder) - 1)
             self._wave_i += 1
-            if start > floor and self._wave_i % self.REPROBE_EVERY == 0:
+            if start > floor and (self._wave_i % self.REPROBE_EVERY == 0
+                                  or self._force_reprobe):
                 start = floor  # periodic re-probe: hint can shift back down
+            self._force_reprobe = False
         # Resident-store-aware per-launch cap (same transient math as
         # LOPQSearcherTPU._wave_cap, per shard: each shard holds its own
         # feats slice and runs its own [nq, Q_shard] rung transients).
@@ -848,7 +865,11 @@ class ShardedLOPQIndex:
                 new_hint = self._tier_hint
             if start == floor:
                 self._tier_hint = new_hint
-            else:
+            elif settle > 0:
+                # Escalated past its start: genuine evidence. A wave
+                # satisfied AT its start rung is NOT — it must not
+                # re-pin a concurrent re-probe's decay via the max()
+                # (same policy as LOPQSearcherTPU._escalate, r5 fix).
                 self._tier_hint = max(self._tier_hint, new_hint)
             if yield_obs is not None:
                 self._yield_ema = (yield_obs if self._yield_ema is None

@@ -260,3 +260,63 @@ def test_hint_decay_sticks_against_stale_wide_wave(hard_setup, monkeypatch):
     t.join(10)
     # The stale wide wave (satisfied at ITS start) must not re-pin.
     assert s._tier_hint == 0
+
+
+def test_brute_plan_costs_actual_start_rung(hard_setup, monkeypatch):
+    """_use_brute must cost the rung the wave will ACTUALLY start at
+    (max(floor, tier_hint)), not the optimistic floor — a pinned-wide
+    hint made the r05 realfeat-10M serving pay 124 top-rung (~110 ms)
+    waves where brute was ~15 ms/query. And a brute takeover must not
+    freeze the hint forever: every REPROBE_EVERY-th hint-driven brute
+    wave runs the ladder from the floor instead."""
+    import columbiaimagesearch_tpu.index.tpu_query as tq
+    from columbiaimagesearch_tpu.index.searcher import LOPQSearcherTPU
+
+    model, _params, _q, coarse, fine, ids = hard_setup
+    s = LOPQSearcherTPU(model)
+    rng = np.random.RandomState(3)
+    feats = rng.randn(len(ids), 32).astype(np.float32)
+    s.add_codes((coarse, fine), ids, feats=feats)
+    s._pack_locked()
+    d = s._dev
+    ladder = s._probe_ladder()
+    top = len(ladder) - 1
+
+    seen_tails = []
+
+    def fake_prefer(tail, nq, nb, V):
+        seen_tails.append(len(tail))
+        return len(tail) <= len(ladder) - top  # brute wins only at top
+
+    monkeypatch.setattr(tq, "prefer_brute", fake_prefer)
+    monkeypatch.setattr(tq, "rung_floor", lambda *a, **k: 0)
+
+    s._tier_hint = 0
+    assert not s._use_brute(d, 4, 10_000, s.nb_indexed, 100)
+    assert seen_tails[-1] == len(ladder)  # costed from the floor
+
+    s._tier_hint = top
+    assert s._use_brute(d, 4, 10_000, s.nb_indexed, 100)
+    assert seen_tails[-1] == len(ladder) - top  # costed from the hint
+
+    # The REPROBE_EVERY-th hint-driven brute wave yields to the ladder
+    # and forces the next escalation to start from the floor.
+    s.REPROBE_EVERY = 4
+    s._brute_i = 0
+    picks = [s._use_brute(d, 4, 10_000, s.nb_indexed, 100)
+             for _ in range(8)]
+    assert picks == [True, True, True, False, True, True, True, False]
+    assert s._force_reprobe
+
+    calls = {}
+
+    def fake_escalate(run_tier, ladder_tail, n, quota, nb, K_pad):
+        calls["tail"] = len(ladder_tail)
+        rows = np.zeros((n, 1), np.int32)
+        return (rows, np.zeros((n, 1), np.float32),
+                np.zeros(n, np.int32), 0.0, 0, 5.0, True)
+
+    monkeypatch.setattr(tq, "escalate_probe", fake_escalate)
+    s._escalate(lambda idx, rung: None, 1, 50, s.nb_indexed, 1)
+    assert calls["tail"] == len(ladder)  # started from the floor
+    assert not s._force_reprobe          # consumed
