@@ -723,9 +723,15 @@ class ShardedLOPQIndex:
         return _retry_stale_snapshot(lambda: self._search_batch_impl(
             X, quota=quota, limit=limit, rerank_nb=rerank_nb))
 
-    def _search_batch_impl(self, X, quota=10, limit=None, rerank_nb=None):
+    def _search_batch_impl(self, X, quota=10, limit=None, rerank_nb=None,
+                           _prewarm=False):
         """Fan a wave of queries out to all shards in one launch per probe
         tier; returns a list of ([(id, dist)], cells_visited) per query.
+
+        ``_prewarm=True`` (see :meth:`prewarm_ladder`) drives run_tier
+        over EVERY ladder rung for this wave geometry — identical jit
+        keys to live traffic — discards results and touches neither the
+        probe stats nor the tier hint/yield EMA.
 
         The wave is padded to a bucketed static batch size (one compile
         per bucket) and insufficient-tier queries escalate through the
@@ -767,7 +773,7 @@ class ShardedLOPQIndex:
         K, Q, K_stage, R, K_emit = _query_geometry(
             quota, limit, max(nb, 1), rerank_nb, Q=Q_shard)
 
-        if self._use_brute(d, nq, quota, nb, R):
+        if not _prewarm and self._use_brute(d, nq, quota, nb, R):
             from columbiaimagesearch_tpu.utils.chunking import pad_rows
 
             n_dev = self.mesh.devices.size
@@ -814,17 +820,23 @@ class ShardedLOPQIndex:
             return unpack_query_out(packed[:k], K_emit if R else K_stage)
 
         full_ladder = probe_ladder(V, self.probe_width)
-        # Quota-aware floor + hint/counter updates under the lock (same
-        # policy as LOPQSearcherTPU._escalate): concurrent waves must not
-        # lose hysteresis updates or skip the periodic re-probe.
-        with self._stats_lock:
-            floor = rung_floor(full_ladder, quota, nb, V, self._yield_ema)
-            start = min(max(self._tier_hint, floor), len(full_ladder) - 1)
-            self._wave_i += 1
-            if start > floor and (self._wave_i % self.REPROBE_EVERY == 0
-                                  or self._force_reprobe):
-                start = floor  # periodic re-probe: hint can shift back down
-            self._force_reprobe = False
+        if _prewarm:
+            floor = start = 0  # drive every rung; no hint/counter touch
+        else:
+            # Quota-aware floor + hint/counter updates under the lock
+            # (same policy as LOPQSearcherTPU._escalate): concurrent
+            # waves must not lose hysteresis updates or skip the
+            # periodic re-probe.
+            with self._stats_lock:
+                floor = rung_floor(full_ladder, quota, nb, V,
+                                   self._yield_ema)
+                start = min(max(self._tier_hint, floor),
+                            len(full_ladder) - 1)
+                self._wave_i += 1
+                if start > floor and (self._wave_i % self.REPROBE_EVERY
+                                      == 0 or self._force_reprobe):
+                    start = floor  # periodic re-probe: hint can decay
+                self._force_reprobe = False
         # Resident-store-aware per-launch cap (same transient math as
         # LOPQSearcherTPU._wave_cap, per shard: each shard holds its own
         # feats slice and runs its own [nq, Q_shard] rung transients).
@@ -848,13 +860,30 @@ class ShardedLOPQIndex:
             if a.ndim >= 2 and a.shape[0] == n_dev:
                 nbytes //= n_dev
             per_shard_bytes += nbytes
+        wrapped = LOPQSearcherTPU._chunk_waves(
+            run_tier,
+            lambda rung: LOPQSearcherTPU._wave_cap_bytes(
+                per_shard_bytes, Q, rung, V))
+        if _prewarm:
+            from columbiaimagesearch_tpu.utils.chunking import pad_rows
+
+            for rung in full_ladder:
+                wrapped(np.arange(nq), rung)
+            if R:
+                # The brute program is a plan live waves may take once
+                # the store is resident; compile it at this geometry.
+                fsq = self._feats_sq_dev(d)
+                fn = self._brute_query_fn(d["feats"].shape[-1], R, K_emit)
+                Xw, _k = pad_rows(X, wave_bucket(nq))
+                n_occ = d.get("n_occ")
+                if n_occ is None:
+                    n_occ = jnp.int32(min(nb, V * V))
+                np.asarray(fn(jnp.asarray(Xw), d["feats"], fsq,
+                              jnp.int32(nb), n_occ))
+            return [([], 0)] * nq
         (rows_b, dists_b, ncells_b, frac_short, settle,
          yield_obs, settled) = escalate_probe(
-            LOPQSearcherTPU._chunk_waves(
-                run_tier,
-                lambda rung: LOPQSearcherTPU._wave_cap_bytes(
-                    per_shard_bytes, Q, rung, V)),
-            full_ladder[start:], nq, quota, nb,
+            wrapped, full_ladder[start:], nq, quota, nb,
             K_emit if R else K_stage)
         with self._stats_lock:
             # Settle-rung hint policy — same as LOPQSearcherTPU._escalate,
@@ -1003,6 +1032,36 @@ class ShardedLOPQSearcher:
     def has_rerank_feats(self):
         self._maybe_build()
         return self.index.has_rerank_feats
+
+    def prewarm_ladder(self, quota=10, limit=None, rerank_nb=None,
+                       waves=(1,)):
+        """Sharded twin of :meth:`LOPQSearcherTPU.prewarm_ladder`:
+        force-compile every ladder rung program (plus the mesh brute
+        plan when the store is resident) for the serving geometry at
+        each wave bucket — a live query settling on a rung the synthetic
+        warm-up request never visited otherwise pays a mid-request
+        compile. Results are discarded; probe stats and the tier hint
+        are untouched. Returns the number of rung programs driven."""
+        from columbiaimagesearch_tpu.index.tpu_query import probe_ladder
+        from columbiaimagesearch_tpu.utils.chunking import wave_bucket
+
+        self._maybe_build()
+        idx = self.index
+        if idx.nb_indexed == 0:
+            return 0
+        if rerank_nb and not idx.has_rerank_feats:
+            rerank_nb = None
+        model = self.model
+        D = (model.pca_P.shape[0] if hasattr(model, "pca_P")
+             else model.Cs[0].shape[1] * 2)
+        n_rungs = len(probe_ladder(model.V, idx.probe_width))
+        n = 0
+        for w in sorted({wave_bucket(max(1, int(b))) for b in waves}):
+            X = np.zeros((w, D), np.float32)
+            idx._search_batch_impl(X, quota=quota, limit=limit,
+                                   rerank_nb=rerank_nb, _prewarm=True)
+            n += n_rungs + (1 if rerank_nb else 0)
+        return n
 
     @staticmethod
     def _to_results(pairs, with_dists):

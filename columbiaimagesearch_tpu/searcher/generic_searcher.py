@@ -302,7 +302,10 @@ class GenericSearcher:
         backend = getattr(self, "searcher", None)
         if (hasattr(backend, "prewarm_ladder")
                 and hasattr(self, "_query_params")
-                and self._use_device_feats(opts)):
+                and (self._use_device_feats(opts)
+                     # The sharded facade's live path IS search_batch on
+                     # host features — its prewarm compiles exactly that.
+                     or getattr(backend, "index", None) is not None)):
             (quota, max_ret, reranking, rerank_nb,
              _nd, _ndt) = self._query_params(opts)
             device_rerank = bool(

@@ -241,3 +241,33 @@ def test_sharded_capacity_plan_amortizes_appends():
     assert idx._cap_per == cap_per0
     assert idx._cells_host is base_c      # in-place, no realloc
     assert idx._feats_host is base_f
+
+
+def test_sharded_prewarm_ladder_compiles_without_state():
+    """ShardedLOPQSearcher.prewarm_ladder drives every rung (and the
+    mesh brute plan) at the serving geometry, returns the program count,
+    and leaves probe stats / tier hint / yield EMA untouched."""
+    from tests.oracle_lopq import random_params
+
+    from columbiaimagesearch_tpu.index.model import LOPQModel
+    from columbiaimagesearch_tpu.index.tpu_query import probe_ladder
+    from columbiaimagesearch_tpu.parallel.sharded import ShardedLOPQSearcher
+
+    rs = np.random.RandomState(9)
+    model = LOPQModel(parameters=random_params(rs, V=8, M=4, S=16, D=32))
+    X = rs.randn(300, 32).astype(np.float32)
+    coarse, fine = model.predict_batch(X)
+    s = ShardedLOPQSearcher(model)
+    s.add_codes((np.asarray(coarse, np.int32).reshape(-1, 2),
+                 np.asarray(fine, np.int32)),
+                ids=[f"p{i}" for i in range(300)], feats=X)
+
+    n = s.prewarm_ladder(quota=50, limit=5, rerank_nb=10, waves=(1, 3))
+    n_rungs = len(probe_ladder(model.V, None))
+    assert n == 2 * (n_rungs + 1)   # buckets {1, 4} x (ladder + brute)
+    assert s.index.probe_stats["waves"] == 0
+    assert s.index._tier_hint == 0 and s.index._yield_ema is None
+
+    res, _vis = s.search(X[11], quota=100, limit=3, with_dists=True,
+                         rerank_nb=16)
+    assert res[0].id == "p11"
