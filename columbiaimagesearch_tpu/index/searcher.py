@@ -901,7 +901,7 @@ class LOPQSearcherTPU(LOPQSearcherBase):
         """Floor to the wave-bucket set (powers of two to 128, then
         x128): pad_rows rounds waves UP to a bucket, so an off-bucket
         cap silently reinflates (cap 87 -> bucket 128, r04 OOM)."""
-        cap = max(8, int(cap))
+        cap = max(1, int(cap))
         if cap < 128:
             return 1 << (cap.bit_length() - 1)
         return (cap // 128) * 128
@@ -931,18 +931,22 @@ class LOPQSearcherTPU(LOPQSearcherBase):
         tens of GB — r04 4M adversarial sweep OOM). ``nq_cap`` may be a
         callable of the rung (rung-aware caps, see _wave_cap). A chunk
         that still exhausts HBM halves the process-wide cap
-        (_WAVE_OOM_SHRINK) and retries at the smaller bucket."""
+        (_WAVE_OOM_SHRINK) and retries at the smaller bucket, all the
+        way down to single-query waves: with a ~11 GB resident f32
+        store the true free HBM can undercut the byte model's 1.2 GB
+        floor, and an 8-query wave is then already too wide (the r05
+        10.5M adversarial+rerank eval died exactly there)."""
         cls = LOPQSearcherTPU
 
         def wrapped(idx, rung):
             cap = nq_cap(rung) if callable(nq_cap) else nq_cap
             cap = cls._floor_wave_bucket(
-                max(8, cap // cls._WAVE_OOM_SHRINK))
+                max(1, cap // cls._WAVE_OOM_SHRINK))
             if len(idx) <= cap:
                 try:
                     return run_tier(idx, rung)
                 except Exception as e:
-                    if not cls._is_device_oom(e) or cap <= 8:
+                    if not cls._is_device_oom(e) or cap <= 1:
                         raise
                     cls._WAVE_OOM_SHRINK *= 2
                     return wrapped(idx, rung)

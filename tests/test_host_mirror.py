@@ -186,3 +186,35 @@ def test_chunk_waves_oom_backoff(monkeypatch):
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def test_chunk_waves_oom_shrinks_to_single_query(monkeypatch):
+    """The backoff shrinks all the way to 1-query waves before giving
+    up: with a ~11 GB resident f32 store the true free HBM undercuts the
+    byte model's floor and even an 8-query wave can be too wide (the r05
+    10.5M adversarial+rerank eval crash). Only an OOM AT cap 1 is
+    terminal."""
+    monkeypatch.setattr(LOPQSearcherTPU, "_WAVE_OOM_SHRINK", 1)
+    calls = []
+
+    def run_tier(idx, rung):
+        calls.append(len(idx))
+        if len(idx) > 1:
+            raise RuntimeError("RESOURCE_EXHAUSTED: TPU backend error")
+        return tuple(np.full(1, i) for i in range(5))
+
+    wrapped = LOPQSearcherTPU._chunk_waves(run_tier, 8)
+    out = wrapped(list(range(8)), rung=0)
+    assert all(len(o) == 8 for o in out)
+    assert calls == [8, 4, 2, 1] + [1] * 7
+    assert LOPQSearcherTPU._WAVE_OOM_SHRINK == 8
+
+    monkeypatch.setattr(LOPQSearcherTPU, "_WAVE_OOM_SHRINK", 1)
+
+    def always_oom(idx, rung):
+        raise RuntimeError("RESOURCE_EXHAUSTED: TPU backend error")
+    try:
+        LOPQSearcherTPU._chunk_waves(always_oom, 8)(list(range(8)), rung=0)
+        raise AssertionError("expected RuntimeError")
+    except RuntimeError:
+        pass
