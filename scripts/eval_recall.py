@@ -38,6 +38,14 @@ def main():
                     help="queries are indexed points + this noise (the "
                          "near-duplicate retrieval scenario the system "
                          "serves); 0 disables and samples fresh points")
+    ap.add_argument("--rerank-dtype", default="auto",
+                    choices=("auto", "float32", "bfloat16"),
+                    help="resident rerank-store dtype for the fused-rerank "
+                         "row; at 10.5M x 256 'auto' picks float32 (11.3 GB "
+                         "— under the 13.5 GB budget) which leaves too "
+                         "little HBM for top-rung wave transients: pass "
+                         "bfloat16 there (the r04-measured production "
+                         "config)")
     ap.add_argument("--skip-exact", action="store_true")
     ap.add_argument("--skip-rerank", action="store_true")
     ap.add_argument("--stream-synth", action="store_true",
@@ -319,7 +327,7 @@ def main():
               f"(re-packing with resident feature store)",
               file=sys.stderr, flush=True)
         del s
-        s = LOPQSearcherTPU(model)
+        s = LOPQSearcherTPU(model, rerank_dtype=args.rerank_dtype)
         s.add_codes((coarse, fine), feats=X)
         qarr = np.asarray(queries)
         # Stabilized warm-up (see the sweep loop above for why one warm
@@ -347,7 +355,8 @@ def main():
                **{f"recall@{k}": hits[k] / len(queries) for k in hits},
                "ms_per_query_e2e_host": round(dt * 1e3, 2),
                "batched": True, "probe_width": "adaptive",
-               "rerank": "fused_device"}
+               "rerank": "fused_device",
+               "rerank_dtype": args.rerank_dtype}
         runs.append(row)
         print(json.dumps(row))
 
