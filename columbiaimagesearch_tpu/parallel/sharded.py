@@ -1052,7 +1052,12 @@ class ShardedLOPQSearcher:
         if rerank_nb and not idx.has_rerank_feats:
             rerank_nb = None
         model = self.model
-        D = (model.pca_P.shape[0] if hasattr(model, "pca_P")
+        # _search_batch_impl applies PCA itself, so prewarm feeds
+        # ORIGINAL-dim zeros for PCA models; pca_P can legitimately be
+        # None on an LOPQModelPCA built without projection params
+        # (model.py:419) — guard like the single-chip twin does.
+        pca_P = getattr(model, "pca_P", None)
+        D = (pca_P.shape[0] if pca_P is not None
              else model.Cs[0].shape[1] * 2)
         n_rungs = len(probe_ladder(model.V, idx.probe_width))
         n = 0

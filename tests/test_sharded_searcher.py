@@ -271,3 +271,31 @@ def test_sharded_prewarm_ladder_compiles_without_state():
     res, _vis = s.search(X[11], quota=100, limit=3, with_dists=True,
                          rerank_nb=16)
     assert res[0].id == "p11"
+
+
+def test_sharded_prewarm_ladder_pca_model():
+    """Sharded prewarm feeds ORIGINAL-dim zeros for PCA models — the
+    impl applies PCA itself (sharded.py _search_batch_impl), so the
+    prewarm query width must be pca_P.shape[0], not the index dim."""
+    from columbiaimagesearch_tpu.index.model import LOPQModelPCA
+    from columbiaimagesearch_tpu.index.tpu_query import probe_ladder
+    from columbiaimagesearch_tpu.parallel.sharded import ShardedLOPQSearcher
+
+    rng = np.random.RandomState(21)
+    raw = rng.rand(400, 48).astype(np.float32)
+    raw /= np.linalg.norm(raw, axis=1, keepdims=True)
+    pm = LOPQModelPCA(V=8, M=4, subquantizer_clusters=16)
+    pm.fit(raw, pca_dims=16, kmeans_coarse_iters=2, kmeans_local_iters=2,
+           n_init=1, random_state=0)
+    coarse, fine = pm.predict_batch(raw)
+    s = ShardedLOPQSearcher(pm)
+    s.add_codes((np.asarray(coarse, np.int32).reshape(-1, 2),
+                 np.asarray(fine, np.int32)),
+                ids=[f"p{i}" for i in range(400)])
+
+    n = s.prewarm_ladder(quota=20, limit=5, waves=(1,))
+    assert n == len(probe_ladder(pm.V, s.index.probe_width))
+    assert s.index.probe_stats["waves"] == 0
+
+    res, _vis = s.search(raw[7], quota=400, limit=3, with_dists=True)
+    assert any(r.id == "p7" for r in res)
